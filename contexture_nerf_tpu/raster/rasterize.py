@@ -1,0 +1,193 @@
+"""Differentiable triangle rasterization for TPU.
+
+Replaces kaolin's kal.render.mesh.rasterize (DIB-R CUDA kernel; reference call
+sites src/models/render.py:85-92,115-120, src/models/textured_mesh.py:170-175,
+325-330). Two interchangeable backends:
+
+  * `rasterize` (this file): pure-XLA scan over face chunks. Used on CPU (tests)
+    and as the autodiff/golden reference.
+  * `contexture_nerf_tpu.raster.pallas_raster.rasterize_pallas`: tiled Pallas
+    kernel (pixels x face-chunk lanes on the VPU) for TPU.
+
+Geometry note: in this pipeline rasterization outputs (face_idx, barycentrics,
+interpolated UV) are *constants* w.r.t. the texture optimization — gradients flow
+through texture sampling at the rasterized UVs, not through vertex positions
+(reference detaches uv_features, render.py:121). The forward here is therefore
+pure; differentiable attribute interpolation is `interpolate_attributes`, which
+is plain gather + weighted-sum and natively JAX-differentiable.
+
+Pixel-grid convention (validated against the reference golden depth tensor
+shapes/spot_depth_side.pt, aligned MAE 0.0019 with the old-TEXTure min_val=0.5
+depth normalization it was saved with): pixel (iy, ix) center maps to NDC
+  x = (ix + 0.5) / W * 2 - 1,   y = 1 - (iy + 0.5) / H * 2
+i.e. row 0 is the top of the frame (camera +y).
+Attributes are interpolated with image-space barycentric coordinates (DIB-R
+linear interpolation, not perspective-correct) and the visible face per pixel
+maximizes interpolated camera-space z (z<0 in front; larger z = closer).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def pixel_grid(height: int, width: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """NDC coordinates of pixel centers; returns (y (H,W), x (H,W))."""
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
+    ys = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
+    return jnp.meshgrid(ys, xs, indexing="ij")
+
+
+def face_edge_setup(face_vertices_image: jnp.ndarray):
+    """Per-face linear barycentric coefficients.
+
+    face_vertices_image: (..., F, 3, 2) NDC vertices.
+    Returns (coef_a, coef_b, coef_c) each (..., F, 3) such that
+      w_k(x, y) = a_k * x + b_k * y + c_k
+    are (unnormalized-then-normalized) barycentric weights, plus `den` (..., F)
+    the signed twice-area (0 => degenerate).
+    """
+    v0 = face_vertices_image[..., 0, :]
+    v1 = face_vertices_image[..., 1, :]
+    v2 = face_vertices_image[..., 2, :]
+    x0, y0 = v0[..., 0], v0[..., 1]
+    x1, y1 = v1[..., 0], v1[..., 1]
+    x2, y2 = v2[..., 0], v2[..., 1]
+    # signed area * 2 (positive = CCW in NDC)
+    den = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+    # w0 proportional to cross((v2-v1), (p-v1)) etc.
+    a0, b0 = y1 - y2, x2 - x1
+    c0 = x1 * y2 - x2 * y1
+    a1, b1 = y2 - y0, x0 - x2
+    c1 = x2 * y0 - x0 * y2
+    a2, b2 = y0 - y1, x1 - x0
+    c2 = x0 * y1 - x1 * y0
+    coef_a = jnp.stack([a0, a1, a2], axis=-1)
+    coef_b = jnp.stack([b0, b1, b2], axis=-1)
+    coef_c = jnp.stack([c0, c1, c2], axis=-1)
+    return coef_a, coef_b, coef_c, den
+
+
+@partial(jax.jit, static_argnames=("height", "width", "face_chunk"))
+def rasterize_geometry(face_vertices_z: jnp.ndarray,
+                       face_vertices_image: jnp.ndarray,
+                       height: int, width: int,
+                       face_chunk: int = 128):
+    """Visibility pass: z-buffered face index + barycentric weights per pixel.
+
+    Args:
+      face_vertices_z: (B, F, 3) camera-space z per face vertex (negative in front).
+      face_vertices_image: (B, F, 3, 2) NDC positions.
+    Returns:
+      face_idx: (B, H, W) int32, -1 for background.
+      bary: (B, H, W, 3) image-space barycentric weights of the hit face.
+    """
+    B, F = face_vertices_z.shape[:2]
+    pad = (-F) % face_chunk
+    if pad:
+        face_vertices_z = jnp.pad(face_vertices_z, ((0, 0), (0, pad), (0, 0)))
+        face_vertices_image = jnp.pad(
+            face_vertices_image, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    Fp = F + pad
+
+    coef_a, coef_b, coef_c, den = face_edge_setup(face_vertices_image)
+    valid = (jnp.abs(den) > _EPS) & (
+        jnp.arange(Fp)[None, :] < F)  # (B, Fp)
+
+    py, px = pixel_grid(height, width)  # (H, W)
+    px = px.reshape(-1)  # (P,)
+    py = py.reshape(-1)
+
+    num_chunks = Fp // face_chunk
+
+    def one_batch(ca, cb, cc, dn, zz, vld):
+        # ca/cb/cc: (Fp,3), dn: (Fp,), zz: (Fp,3), vld: (Fp,)
+        def body(carry, chunk_idx):
+            best_z, best_idx, best_bary = carry
+            s = chunk_idx * face_chunk
+            ca_c = jax.lax.dynamic_slice_in_dim(ca, s, face_chunk, 0)  # (C,3)
+            cb_c = jax.lax.dynamic_slice_in_dim(cb, s, face_chunk, 0)
+            cc_c = jax.lax.dynamic_slice_in_dim(cc, s, face_chunk, 0)
+            dn_c = jax.lax.dynamic_slice_in_dim(dn, s, face_chunk, 0)  # (C,)
+            zz_c = jax.lax.dynamic_slice_in_dim(zz, s, face_chunk, 0)  # (C,3)
+            vld_c = jax.lax.dynamic_slice_in_dim(vld, s, face_chunk, 0)
+
+            # (P, C, 3) barycentric numerators
+            w = (px[:, None, None] * ca_c[None] + py[:, None, None] * cb_c[None]
+                 + cc_c[None])
+            w = w / jnp.where(jnp.abs(dn_c) < _EPS, 1.0, dn_c)[None, :, None]
+            inside = jnp.all(w >= 0.0, axis=-1) & vld_c[None, :]  # (P, C)
+            z_interp = jnp.sum(w * zz_c[None], axis=-1)  # (P, C)
+            z_masked = jnp.where(inside, z_interp, -jnp.inf)
+            arg = jnp.argmax(z_masked, axis=-1)  # (P,)
+            cand_z = jnp.take_along_axis(z_masked, arg[:, None], axis=1)[:, 0]
+            cand_bary = jnp.take_along_axis(w, arg[:, None, None], axis=1)[:, 0]
+            cand_idx = s + arg
+
+            better = cand_z > best_z
+            best_z = jnp.where(better, cand_z, best_z)
+            best_idx = jnp.where(better, cand_idx, best_idx)
+            best_bary = jnp.where(better[:, None], cand_bary, best_bary)
+            return (best_z, best_idx, best_bary), None
+
+        P = px.shape[0]
+        init = (jnp.full((P,), -jnp.inf, jnp.float32),
+                jnp.full((P,), -1, jnp.int32),
+                jnp.zeros((P, 3), jnp.float32))
+        (bz, bi, bb), _ = jax.lax.scan(body, init, jnp.arange(num_chunks))
+        bi = jnp.where(jnp.isfinite(bz), bi, -1)
+        return bi, bb
+
+    face_idx, bary = jax.vmap(one_batch)(
+        coef_a, coef_b, coef_c, den, face_vertices_z, valid)
+    return (face_idx.reshape(B, height, width).astype(jnp.int32),
+            bary.reshape(B, height, width, 3))
+
+
+def interpolate_attributes(face_idx: jnp.ndarray, bary: jnp.ndarray,
+                           face_features: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable attribute interpolation at rasterized pixels.
+
+    face_idx: (B,H,W) int32 (-1 background), bary: (B,H,W,3),
+    face_features: (B,F,3,C). Returns (B,H,W,C); background pixels are 0
+    (kaolin rasterize fills 0 outside coverage)."""
+    safe_idx = jnp.maximum(face_idx, 0)
+    # gather per-pixel per-vertex features: (B,H,W,3,C)
+    gathered = jnp.take_along_axis(
+        face_features[:, :, None, None],  # (B,F,1,1,3,C)
+        safe_idx[:, None, :, :, None, None].astype(jnp.int32),
+        axis=1,
+    )[:, 0]  # -> (B,H,W,3,C)
+    out = jnp.sum(gathered * bary[..., None], axis=-2)
+    mask = (face_idx >= 0)[..., None]
+    return jnp.where(mask, out, 0.0)
+
+
+def rasterize(height: int, width: int,
+              face_vertices_z: jnp.ndarray,
+              face_vertices_image: jnp.ndarray,
+              face_features: jnp.ndarray,
+              backend: Optional[str] = None,
+              face_chunk: int = 128):
+    """kaolin-compatible entry: (image_features (B,H,W,C), face_idx (B,H,W)).
+
+    reference: kal.render.mesh.rasterize(height, width, face_vertices_z,
+    face_vertices_image, face_features) at render.py:85-92,115-120."""
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from contexture_nerf_tpu.raster.pallas_raster import rasterize_geometry_pallas
+        face_idx, bary = rasterize_geometry_pallas(
+            face_vertices_z, face_vertices_image, height, width)
+    else:
+        face_idx, bary = rasterize_geometry(
+            face_vertices_z, face_vertices_image, height, width,
+            face_chunk=face_chunk)
+    feats = interpolate_attributes(face_idx, bary, face_features)
+    return feats, face_idx
