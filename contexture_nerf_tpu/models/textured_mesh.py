@@ -1,0 +1,269 @@
+"""Textured mesh model: mesh + renderer + NeRF2D texture field.
+
+Replaces the reference TexturedMeshModel (src/models/textured_mesh.py:97-580)
+with a functional design: geometry is static (host-loaded once), MLP params are
+an explicit pytree, and `render` is pure given (params, cache) so the SDS loop
+can jit it end to end.
+
+UV source priority mirrors the reference init_texture_map
+(textured_mesh.py:371-409): mesh UVs -> cache -> unwrap. The unwrap fallback is
+a host-side per-face atlas packer (xatlas equivalent role; xatlas itself is a
+one-shot CPU preprocessing step in the reference too, cached to disk).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contexture_nerf_tpu.models.fields import (NeRF2D, embedder_out_dim,
+                                               fourier_embed, texture_from_mlp)
+from contexture_nerf_tpu.models.mesh import Mesh
+from contexture_nerf_tpu.raster.render import RenderCache, Renderer
+
+
+def atlas_unwrap(vertices: np.ndarray, faces: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-face UV atlas packing (fallback for meshes without UVs).
+
+    Plays the role of xatlas in the reference (textured_mesh.py:390-404): every
+    triangle gets its own isosceles right-triangle chart in a sqrt(F) grid with
+    a small gutter. No overlaps; area-uniform. Returns (vt [3F,2], ft [F,3])."""
+    F = faces.shape[0]
+    cols = int(np.ceil(np.sqrt(F)))
+    rows = int(np.ceil(F / cols))
+    cw, ch = 1.0 / cols, 1.0 / rows
+    gut = 0.1  # fraction of a cell kept as gutter
+    vt = np.zeros((3 * F, 2), np.float32)
+    ft = np.arange(3 * F, dtype=np.int64).reshape(F, 3)
+    idx = np.arange(F)
+    cx = (idx % cols) * cw
+    cy = (idx // cols) * ch
+    x0, y0 = cx + gut * cw, cy + gut * ch
+    x1, y1 = cx + (1 - gut) * cw, cy + (1 - gut) * ch
+    vt[0::3] = np.stack([x0, y0], -1)
+    vt[1::3] = np.stack([x1, y0], -1)
+    vt[2::3] = np.stack([x0, y1], -1)
+    return vt, ft
+
+
+class TexturedMeshModel:
+    """Owns mesh geometry + renderer + the texture MLP definition.
+
+    Parameters (the MLP weights) are external pytrees: `init_params(key)`
+    creates them, every render takes them explicitly."""
+
+    def __init__(self, opt, render_grid_size: int = 1024,
+                 texture_resolution: int = 1024,
+                 cache_path: Optional[Path] = None,
+                 multires: int = 10,
+                 fovyangle: float = np.pi / 3,
+                 env_sphere_path: str = "shapes/env_sphere.obj",
+                 backend: Optional[str] = None,
+                 param_dtype: jnp.dtype = jnp.float32):
+        self.opt = opt
+        self.dy = opt.dy
+        self.mesh_scale = opt.shape_scale
+        self.texture_resolution = texture_resolution
+        self.cache_path = Path(cache_path) if cache_path is not None else None
+        self.multires = multires
+        self.default_color = [0.8, 0.1, 0.8]  # magenta (textured_mesh.py:131)
+        self.dim = (render_grid_size, render_grid_size)
+
+        self.renderer = Renderer(
+            dim=self.dim,
+            interpolation_mode=opt.texture_interpolation_mode,
+            fovyangle=fovyangle, backend=backend)
+
+        mesh = Mesh.load(opt.shape_path)
+        mesh.normalize_mesh(inplace=True, target_scale=self.mesh_scale,
+                            dy=self.dy)
+        self.mesh = mesh
+        self.env_sphere = (Mesh.load(env_sphere_path)
+                           if os.path.exists(env_sphere_path) else None)
+
+        vt, ft = self._init_texture_map()
+        self.vt, self.ft = vt, ft
+        # (1, F, 3, 2) face UV attributes (textured_mesh.py:149-151)
+        self.face_attributes = jnp.asarray(vt[ft], jnp.float32)[None]
+        self.verts = jnp.asarray(mesh.vertices, jnp.float32)
+        self.faces = jnp.asarray(mesh.faces, jnp.int32)
+
+        self.texture_mlp = NeRF2D(
+            D=8, W=256, input_ch=embedder_out_dim(multires), output_ch=3,
+            dtype=param_dtype)
+
+    # -- setup ----------------------------------------------------------------
+
+    def _init_texture_map(self) -> Tuple[np.ndarray, np.ndarray]:
+        cache = self.cache_path
+        vt_cache = ft_cache = None
+        if cache is not None:
+            vt_cache, ft_cache = cache / "vt.npy", cache / "ft.npy"
+        if (self.mesh.vt is not None and self.mesh.ft is not None
+                and self.mesh.vt.shape[0] > 0 and self.mesh.ft.min() > -1):
+            return (self.mesh.vt.astype(np.float32),
+                    self.mesh.ft.astype(np.int64))
+        if vt_cache is not None and vt_cache.exists() and ft_cache.exists():
+            return np.load(vt_cache), np.load(ft_cache)
+        vt, ft = atlas_unwrap(self.mesh.vertices, self.mesh.faces)
+        if cache is not None:
+            cache.mkdir(parents=True, exist_ok=True)
+            np.save(vt_cache, vt)
+            np.save(ft_cache, ft)
+        return vt, ft
+
+    def init_params(self, key: jax.Array):
+        dummy = jnp.zeros((1, embedder_out_dim(self.multires)))
+        return self.texture_mlp.init(key, dummy)
+
+    # -- texture synthesis ----------------------------------------------------
+
+    def get_texture_map(self, params) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(1,3,res,res) texture in [0,1] + raw mlp_output
+        (reference textured_mesh.py:266-301)."""
+        return texture_from_mlp(self.texture_mlp, params,
+                                self.texture_resolution,
+                                multires=self.multires)
+
+    def query_texture_at_uv(self, params, uv: jnp.ndarray) -> jnp.ndarray:
+        """Direct MLP query at arbitrary UVs (bypasses the lattice) — the
+        TPU-preferred path for sparse queries."""
+        emb = fourier_embed(uv, multires=self.multires)
+        return (jnp.tanh(self.texture_mlp.apply(params, emb)) + 1.0) / 2.0
+
+    def apply_median_fill(self, texture: jnp.ndarray) -> jnp.ndarray:
+        """Replace near-default-color texels with the median (mean) of painted
+        texels (reference change_default_to_median, textured_mesh.py:362-369)."""
+        default = jnp.asarray(self.default_color).reshape(1, 3, 1, 1)
+        diff = jnp.abs(texture - default).sum(axis=1, keepdims=True)
+        default_mask = (diff < 0.1).astype(texture.dtype)
+        painted = 1.0 - default_mask
+        denom = jnp.maximum(painted.sum(), 1.0)
+        median = (texture * painted).sum(axis=(0, 2, 3)) / denom
+        return texture * painted + median.reshape(1, 3, 1, 1) * default_mask
+
+    # -- rendering ------------------------------------------------------------
+
+    def render_geometry(self, theta=None, phi=None, radius=None,
+                        dims: Optional[Tuple[int, int]] = None) -> RenderCache:
+        theta = jnp.atleast_1d(jnp.asarray(theta, jnp.float32))
+        phi = jnp.atleast_1d(jnp.asarray(phi, jnp.float32))
+        radius = jnp.atleast_1d(jnp.asarray(radius, jnp.float32))
+        B = theta.shape[0]
+        uv_attr = jnp.broadcast_to(
+            self.face_attributes, (B,) + self.face_attributes.shape[1:])
+        return self.renderer.render_geometry(
+            self.verts, self.faces, uv_attr, theta, phi, radius,
+            look_at_height=self.dy, dims=dims)
+
+    def render(self, params, theta=None, phi=None, radius=None,
+               background=None, use_meta_texture: bool = False,
+               render_cache: Optional[RenderCache] = None,
+               use_median: bool = False,
+               dims: Optional[Tuple[int, int]] = None) -> Dict[str, jnp.ndarray]:
+        """Full render dict (reference textured_mesh.py:476-580).
+
+        `background`: None | (3,) color array | (B,3,H,W) image | str
+        ('white'/'random'/'none')."""
+        if render_cache is None:
+            render_cache = self.render_geometry(theta, phi, radius, dims=dims)
+
+        texture_img, mlp_output = self.get_texture_map(params)
+        if use_median:
+            texture_img = self.apply_median_fill(texture_img)
+
+        background_type = "none"
+        use_render_back = False
+        if background is not None and isinstance(background, str):
+            background_type = background
+            use_render_back = True
+
+        pred_features, mask, depth, normals = (
+            self.renderer.render_texture_with_cache(
+                render_cache, texture_img, background_type))
+
+        if use_render_back:
+            pred_map = pred_features
+            pred_back = pred_features
+        else:
+            if background is None:
+                background = jnp.zeros((3,), pred_features.dtype)
+            background = jnp.asarray(background, pred_features.dtype)
+            if background.ndim == 1:
+                pred_back = jnp.ones_like(pred_features) * background.reshape(
+                    1, 3, 1, 1)
+            else:
+                pred_back = background
+            pred_map = pred_back * (1 - mask) + pred_features * mask
+
+        if not use_meta_texture:
+            pred_map = jnp.clip(pred_map, 0.0, 1.0)
+            pred_features = jnp.clip(pred_features, 0.0, 1.0)
+
+        return {"image": pred_map, "mask": mask, "background": pred_back,
+                "foreground": pred_features, "depth": depth,
+                "normals": normals, "render_cache": render_cache,
+                "texture_map": texture_img, "mlp_output": mlp_output}
+
+    def render_face_normals_face_idx(self, theta, phi, radius,
+                                     dims=None):
+        """Geometry-only multiview render for view-weight computation
+        (reference textured_mesh.py:158-194). Returns
+        (mask (B,1,H,W), depth (B,1,H,W), normals_image (B,3,H,W),
+        face_normals (B,3,F), face_idx (B,1,H,W))."""
+        cache = self.render_geometry(theta, phi, radius, dims=dims)
+        safe_idx = jnp.maximum(cache.face_idx, 0)
+        normals_image = jnp.take_along_axis(
+            cache.face_normals[:, :, None, None],
+            safe_idx[:, None, :, :, None].astype(jnp.int32), axis=1)[:, 0]
+        normals_image = normals_image * jnp.transpose(cache.mask, (0, 2, 3, 1))
+        return (cache.mask, cache.depth_map,
+                jnp.transpose(normals_image, (0, 3, 1, 2)),
+                jnp.transpose(cache.face_normals, (0, 2, 1)),
+                cache.face_idx[:, None])
+
+    # -- export ---------------------------------------------------------------
+
+    def export_mesh(self, path, params) -> None:
+        """OBJ + MTL + albedo.png export (reference textured_mesh.py:417-474)."""
+        from PIL import Image
+
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        texture_img, _ = self.get_texture_map(params)
+        colors = np.asarray(
+            jnp.clip(texture_img, 0, 1).transpose(0, 2, 3, 1))[0]
+        Image.fromarray((colors * 255).astype(np.uint8)).save(
+            path / "albedo.png")
+
+        v_np = np.asarray(self.mesh.vertices)
+        f_np = np.asarray(self.mesh.faces)
+        vt_np = np.asarray(self.vt)
+        ft_np = np.asarray(self.ft)
+
+        with open(path / "mesh.obj", "w") as fp:
+            fp.write("mtllib mesh.mtl \n")
+            for v in v_np:
+                fp.write(f"v {v[0]} {v[1]} {v[2]} \n")
+            for v in vt_np:
+                fp.write(f"vt {v[0]} {v[1]} \n")
+            fp.write("usemtl mat0 \n")
+            for i in range(len(f_np)):
+                fp.write(
+                    f"f {f_np[i, 0] + 1}/{ft_np[i, 0] + 1} "
+                    f"{f_np[i, 1] + 1}/{ft_np[i, 1] + 1} "
+                    f"{f_np[i, 2] + 1}/{ft_np[i, 2] + 1} \n")
+        with open(path / "mesh.mtl", "w") as fp:
+            fp.write("newmtl mat0 \n")
+            fp.write("Ka 1.000000 1.000000 1.000000 \n")
+            fp.write("Kd 1.000000 1.000000 1.000000 \n")
+            fp.write("Ks 0.000000 0.000000 0.000000 \n")
+            fp.write("Tr 1.000000 \n")
+            fp.write("illum 1 \n")
+            fp.write("Ns 0.000000 \n")
+            fp.write("map_Kd albedo.png \n")
