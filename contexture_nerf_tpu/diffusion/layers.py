@@ -1,0 +1,217 @@
+"""Stable-Diffusion building blocks in flax (NHWC, TPU-native layouts).
+
+Re-implements the diffusers modules the reference depends on (UNet resnet /
+transformer blocks, up/downsampling, timestep embedding — SURVEY.md §2.2
+"PyTorch/cuDNN conv/attention/GEMM inside SD2 + Zero123++ UNets").
+
+Design notes:
+  - activations are NHWC end to end (XLA's native TPU conv layout); the
+    (B,C,H,W) torch layout exists only at the public API boundary.
+  - attention rides ops/attention.py (Pallas flash kernel on TPU) and accepts
+    optional reference-KV extension for the Zero123++ concat-KV pattern.
+  - bf16-friendly: pass dtype=jnp.bfloat16 for compute; norms accumulate f32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from contexture_nerf_tpu.ops.attention import attention
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int,
+                       max_period: float = 10000.0,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (diffusers get_timestep_embedding)."""
+    half = dim // 2
+    exponent = -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    out = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos],
+                          axis=-1)
+    if dim % 2 == 1:
+        out = jnp.pad(out, ((0, 0), (0, 1)))
+    return out
+
+
+class TimestepEmbedding(nn.Module):
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample):
+        x = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(sample)
+        x = nn.silu(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(x)
+
+
+class ResnetBlock2D(nn.Module):
+    out_channels: int
+    eps: float = 1e-5
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+    use_temb: bool = True
+
+    @nn.compact
+    def __call__(self, x, temb=None):
+        in_ch = x.shape[-1]
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32,
+                         name="norm1")(x)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
+        if self.use_temb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype,
+                         name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32,
+                         name="norm2")(h)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; self-attention when context is None.
+
+    ref_kv: extra token sequence appended to the KV source — the functional
+    form of Zero123++ ReferenceOnlyAttnProc mode='r'
+    (src/zero123plus.py:127-161)."""
+
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, ref_kv=None):
+        inner = self.num_heads * self.head_dim
+        ctx = x if context is None else context
+        if ref_kv is not None:
+            ctx = jnp.concatenate([ctx, ref_kv.astype(ctx.dtype)], axis=1)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        B, Sq = q.shape[0], q.shape[1]
+        Skv = k.shape[1]
+
+        def split(t, S):
+            return t.reshape(B, S, self.num_heads, self.head_dim
+                             ).transpose(0, 2, 1, 3)
+
+        out = attention(split(q, Sq), split(k, Skv), split(v, Skv))
+        out = out.transpose(0, 2, 1, 3).reshape(B, Sq, inner)
+        return nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (diffusers FeedForward with geglu activation)."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="geglu_proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, ref_kv=None, ref_out=None):
+        """ref_kv: tokens appended to attn1's KV (reference attention read).
+        ref_out: a list — when not None, attn1's input tokens are appended
+        (reference attention write; mode='w' in zero123plus.py:151)."""
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
+        if ref_out is not None:
+            ref_out.append(h)
+        x = x + CrossAttention(self.num_heads, self.head_dim, self.dtype,
+                               name="attn1")(h.astype(self.dtype),
+                                             ref_kv=ref_kv)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
+        x = x + CrossAttention(self.num_heads, self.head_dim, self.dtype,
+                               name="attn2")(h.astype(self.dtype),
+                                             context=context)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x)
+        x = x + FeedForward(x.shape[-1], dtype=self.dtype,
+                            name="ff")(h.astype(self.dtype))
+        return x
+
+
+class Transformer2DModel(nn.Module):
+    """Spatial transformer over NHWC features (diffusers Transformer2DModel)."""
+
+    num_heads: int
+    head_dim: int
+    depth: int = 1
+    use_linear_projection: bool = True  # SD2 style
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, ref_kv_list=None, ref_out=None):
+        """ref_kv_list: shared mutable list of per-self-attn KV extensions,
+        consumed in execution order (pop from front); ref_out: shared list
+        collecting each self-attn's input tokens (write pass)."""
+        B, H, W, C = x.shape
+        residual = x
+        h = nn.GroupNorm(32, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        h = h.astype(self.dtype)
+        if self.use_linear_projection:
+            h = h.reshape(B, H * W, C)
+            h = nn.Dense(C, dtype=self.dtype, name="proj_in")(h)
+        else:
+            h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_in")(h)
+            h = h.reshape(B, H * W, C)
+        for i in range(self.depth):
+            rkv = ref_kv_list.pop(0) if ref_kv_list is not None else None
+            h = BasicTransformerBlock(
+                self.num_heads, self.head_dim, self.dtype,
+                name=f"transformer_blocks_{i}")(
+                    h, context=context, ref_kv=rkv, ref_out=ref_out)
+        if self.use_linear_projection:
+            h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
+            h = h.reshape(B, H, W, C)
+        else:
+            h = h.reshape(B, H, W, C)
+            h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        return h + residual

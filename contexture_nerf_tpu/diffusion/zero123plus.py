@@ -1,0 +1,329 @@
+"""Zero123++ v1.1 multiview pipeline with depth ControlNet — TPU-native.
+
+Replaces the hub pipeline the reference downloads at runtime
+(trainer.py:296-315; vendored documentation copy src/zero123plus.py). The
+pieces and their reference counterparts:
+
+  - reference-only attention: two UNet passes in ONE jitted graph — pass 1
+    runs the noised cond latent and collects each self-attn's tokens
+    (mode='w', zero123plus.py:190-200), pass 2 denoises the 3x2 grid with
+    those tokens appended to every self-attn KV (mode='r', :153). No Python
+    dict side channel.
+  - depth ControlNet at conditioning_scale=2 (trainer.py:302-304,
+    DepthControlUNet zero123plus.py:260-298).
+  - CLIP-vision global embeds blended into empty-prompt text embeds via
+    per-token ramping coefficients (zero123plus.py:784-803).
+  - latent/image domain scalings (zero123plus.py:240-257 == trainer.py:38-52).
+  - the SDS teacher path: num_inference_steps=1 at an externally chosen t,
+    returning the CFG-combined v-prediction (trainer.py:771-796 captures it
+    via callback_on_step_end; here it is simply the function's return value).
+
+Grid geometry: 3x2 tiles of 320 px -> 960x640 canvas, 120x80 latent
+(trainer.py:590-594,723-727).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contexture_nerf_tpu.diffusion import schedulers as sch
+from contexture_nerf_tpu.diffusion.clip import (CLIPTextConfig, CLIPTextModel,
+                                                CLIPTokenizer,
+                                                CLIPVisionConfig,
+                                                CLIPVisionModelWithProjection)
+from contexture_nerf_tpu.diffusion.controlnet import ControlNet
+from contexture_nerf_tpu.diffusion.unet import UNet2DCondition, UNetConfig
+from contexture_nerf_tpu.diffusion.vae import (AutoencoderKL, VAEConfig,
+                                               sample_gaussian)
+
+VAE_SCALE = 0.18215
+
+
+def scale_latents(latents):
+    """(zero123plus.py:240-242 / trainer.py:38-40)"""
+    return (latents - 0.22) * 0.75
+
+
+def unscale_latents(latents):
+    return latents / 0.75 + 0.22
+
+
+def scale_image(image):
+    """(zero123plus.py:251-253 / trainer.py:46-48)"""
+    return image * 0.5 / 0.8
+
+
+def unscale_image(image):
+    return image / 0.5 * 0.8
+
+
+# Zero123++ v1.1 ramping coefficients are learned per text-token; without the
+# hub checkpoint we default to a linear ramp over the 77 tokens (the converter
+# loads the real ones from a local snapshot's config when available).
+def default_ramping_coefficients(n_tokens: int = 77) -> np.ndarray:
+    return np.linspace(0.0, 1.0, n_tokens, dtype=np.float32)
+
+
+@dataclass
+class Zero123PlusWeightPaths:
+    unet: Optional[str] = None
+    vae: Optional[str] = None
+    controlnet: Optional[str] = None
+    text_encoder: Optional[str] = None
+    vision_encoder: Optional[str] = None
+    tokenizer_vocab: Optional[str] = None
+    tokenizer_merges: Optional[str] = None
+    ramping_coefficients: Optional[str] = None  # json file
+
+
+class Zero123PlusPipeline:
+    """Multiview teacher/generator."""
+
+    def __init__(self, conditioning_scale: float = 2.0,
+                 weight_paths: Optional[Zero123PlusWeightPaths] = None,
+                 tiny: bool = False, dtype: jnp.dtype = jnp.float32,
+                 seed: int = 0):
+        self.conditioning_scale = conditioning_scale
+        self.dtype = dtype
+        if tiny:
+            self.unet_config = UNetConfig.tiny(in_channels=4)
+            self.vae_config = VAEConfig.tiny()
+            self.text_config = CLIPTextConfig.tiny()
+            self.vision_config = CLIPVisionConfig.tiny()
+            # tiny vision proj dim must match text hidden
+            self.vision_config.projection_dim = self.text_config.hidden_size
+        else:
+            self.unet_config = UNetConfig.zero123plus()
+            self.vae_config = VAEConfig.sd()
+            self.text_config = CLIPTextConfig.sd2()
+            self.vision_config = CLIPVisionConfig.vit_h()
+
+        self.unet = UNet2DCondition(self.unet_config, dtype=dtype)
+        self.controlnet = ControlNet(self.unet_config, dtype=dtype)
+        self.vae = AutoencoderKL(self.vae_config, dtype=dtype)
+        self.text_encoder = CLIPTextModel(self.text_config, dtype=dtype)
+        self.vision_encoder = CLIPVisionModelWithProjection(
+            self.vision_config, dtype=dtype)
+        wp = weight_paths or Zero123PlusWeightPaths()
+        self.tokenizer = CLIPTokenizer(
+            vocab_path=wp.tokenizer_vocab, merges_path=wp.tokenizer_merges,
+            vocab_size=self.text_config.vocab_size)
+
+        # trainer.py:306 swaps the gen scheduler for DDPM (v-prediction);
+        # generation default is EulerAncestral (hub config)
+        self.ddpm = sch.DDPM.create(prediction_type="v_prediction")
+        self.euler = sch.EulerAncestral.create(
+            prediction_type="v_prediction", timestep_spacing="trailing")
+        self.alphas_cumprod = self.ddpm.alphas_cumprod
+
+        if wp.ramping_coefficients:
+            import json
+
+            self.ramping = np.asarray(
+                json.load(open(wp.ramping_coefficients)), np.float32)
+        else:
+            self.ramping = default_ramping_coefficients(
+                self.text_config.max_positions)
+
+        self.params = self._init_or_load(wp, seed)
+        self._jit_cache: Dict[Any, Any] = {}
+
+    # -- weights ---------------------------------------------------------------
+
+    def _init_or_load(self, wp: Zero123PlusWeightPaths, seed: int):
+        from contexture_nerf_tpu.diffusion import weights as W
+
+        key = jax.random.PRNGKey(seed)
+        ks = jax.random.split(key, 5)
+        ctx = self.text_config.hidden_size
+        params: Dict[str, Any] = {}
+        lat = jnp.zeros((1, 4, 24, 16))
+        emb = jnp.zeros((1, 77, ctx))
+        if wp.unet:
+            params["unet"] = W.convert_unet(W.load_state_dict(wp.unet),
+                                            self.unet_config)
+        else:
+            params["unet"] = jax.jit(self.unet.init)(ks[0], lat,
+                                                     jnp.array([0]), emb)
+        if wp.controlnet:
+            params["controlnet"] = W.convert_controlnet(
+                W.load_state_dict(wp.controlnet), self.unet_config)
+        else:
+            params["controlnet"] = jax.jit(self.controlnet.init)(
+                ks[1], lat, jnp.array([0]), emb,
+                jnp.zeros((1, 3, 24 * 8, 16 * 8)))
+        if wp.vae:
+            params["vae"] = W.convert_vae(W.load_state_dict(wp.vae),
+                                          self.vae_config)
+        else:
+            params["vae"] = jax.jit(self.vae.init)(
+                ks[2], jnp.zeros((1, 3, 64, 64)), ks[2])
+        if wp.text_encoder:
+            params["text"] = W.convert_clip_text(
+                W.load_state_dict(wp.text_encoder), self.text_config)
+        else:
+            params["text"] = jax.jit(self.text_encoder.init)(
+                ks[3], jnp.zeros((1, 77), jnp.int32))
+        if wp.vision_encoder:
+            params["vision"] = W.convert_clip_vision(
+                W.load_state_dict(wp.vision_encoder), self.vision_config)
+        else:
+            sz = self.vision_config.image_size
+            params["vision"] = jax.jit(self.vision_encoder.init)(
+                ks[4], jnp.zeros((1, 3, sz, sz)))
+        return params
+
+    # -- conditioning -----------------------------------------------------------
+
+    def encode_condition_image(self, image: jnp.ndarray,
+                               key: jax.Array) -> jnp.ndarray:
+        """cond image (1,3,H,W) in [-1,1] -> UNSCALED latent sample
+        (hub encode_condition_image; trainer.py:621)."""
+        mean, logvar = self.vae.apply(self.params["vae"], image,
+                                      method=self.vae.encode_moments)
+        return sample_gaussian(mean, logvar, key)
+
+    def prepare_conditioning(self, cond_image: jnp.ndarray, key: jax.Array
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """cond_image (1,3,Hc,Wc) in [-1,1] (already feature-extractor sized).
+
+        Returns (cond_lat_pair (2,4,h,w), encoder_hidden_states (2,77,ctx)):
+        CFG pairs [negative, positive] (trainer.py:608-639)."""
+        k1, k2 = jax.random.split(key)
+        cond_lat = self.encode_condition_image(cond_image, k1)
+        negative_lat = self.encode_condition_image(
+            jnp.zeros_like(cond_image), k2)
+        cond_lat_pair = jnp.concatenate([negative_lat, cond_lat])
+
+        # CLIP-vision pixel values: resize to the tower's expected size and
+        # apply CLIP normalization from [-1,1] input
+        sz = self.vision_config.image_size
+        x01 = cond_image / 2 + 0.5
+        x01 = jax.image.resize(x01, (1, 3, sz, sz), method="linear")
+        mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073]
+                           ).reshape(1, 3, 1, 1)
+        std = jnp.asarray([0.26862954, 0.26130258, 0.27577711]
+                          ).reshape(1, 3, 1, 1)
+        pixel_values = (x01 - mean) / std
+        global_embeds = self.vision_encoder.apply(
+            self.params["vision"], pixel_values)[:, None, :]  # (1,1,ctx)
+
+        empty_ids = jnp.asarray(self.tokenizer([""]))
+        text_embeds = self.text_encoder.apply(self.params["text"], empty_ids)
+        ramp = jnp.asarray(self.ramping).reshape(1, -1, 1)
+        cond_hidden = text_embeds + global_embeds * ramp  # (1,77,ctx)
+        uncond_hidden = text_embeds  # empty prompt, no vision ramp
+        encoder_hidden_states = jnp.concatenate([uncond_hidden, cond_hidden])
+        return cond_lat_pair, encoder_hidden_states
+
+    # -- core UNet forward (ref-attn + controlnet + CFG) ------------------------
+
+    def _cfg_v_pred(self, params, latents, t, cond_lat_pair,
+                    encoder_hidden_states, depth_image, guidance_scale,
+                    key, scale_input):
+        """One CFG-combined model forward at timestep t.
+
+        latents: (1,4,H,W); cond_lat_pair: (2,4,hc,wc);
+        depth_image: (1,3,8H,8W). Mirrors RefOnlyNoisedUNet.forward +
+        DepthControlUNet.forward (zero123plus.py:202-237,280-298)."""
+        lat_in = jnp.concatenate([latents] * 2)
+        lat_in = scale_input(lat_in)
+
+        # write pass: noise the cond latent to t (val scheduler semantics)
+        noise = jax.random.normal(key, cond_lat_pair.shape,
+                                  cond_lat_pair.dtype)
+        noisy_cond = sch.add_noise(self.alphas_cumprod, cond_lat_pair, noise,
+                                   jnp.broadcast_to(t, (2,)))
+        noisy_cond = scale_input(noisy_cond)
+        ref = []
+        self.unet.apply(params["unet"], noisy_cond, t,
+                        encoder_hidden_states, ref_out=ref)
+
+        depth_pair = jnp.concatenate([depth_image] * 2)
+        downs, mid = self.controlnet.apply(
+            params["controlnet"], lat_in, t, encoder_hidden_states,
+            depth_pair, self.conditioning_scale)
+
+        v = self.unet.apply(params["unet"], lat_in, t,
+                            encoder_hidden_states,
+                            down_residuals=downs, mid_residual=mid,
+                            ref_kv_list=ref)
+        v_uncond, v_cond = jnp.split(v, 2, axis=0)
+        return v_uncond + guidance_scale * (v_cond - v_uncond)
+
+    # -- SDS teacher -------------------------------------------------------------
+
+    def teacher_v_pred(self, latents_noisy, t, cond_lat_pair,
+                       encoder_hidden_states, depth_image,
+                       guidance_scale: float, key: jax.Array) -> jnp.ndarray:
+        """Single-step teacher: the CFG v-prediction at externally-noised
+        latents (reference trainer.py:771-796: num_inference_steps=1 with
+        callback capturing noise_pred). Jit-cached per latent shape."""
+        sig = ("teacher", latents_noisy.shape, depth_image.shape)
+        if sig not in self._jit_cache:
+            def f(params, latents_noisy, t, cond_lat_pair, ehs, depth, gs, key):
+                return self._cfg_v_pred(params, latents_noisy, t,
+                                        cond_lat_pair, ehs, depth, gs, key,
+                                        scale_input=lambda x: x)  # DDPM: id
+            self._jit_cache[sig] = jax.jit(f)
+        return self._jit_cache[sig](self.params, latents_noisy, t,
+                                    cond_lat_pair, encoder_hidden_states,
+                                    depth_image,
+                                    jnp.asarray(guidance_scale, jnp.float32),
+                                    key)
+
+    # -- generation ---------------------------------------------------------------
+
+    def generate(self, cond_image: jnp.ndarray, depth_image: jnp.ndarray,
+                 num_inference_steps: int = 28, guidance_scale: float = 4.0,
+                 key: Optional[jax.Array] = None,
+                 height: int = 960, width: int = 640) -> jnp.ndarray:
+        """Full EulerAncestral generation of the 3x2 grid (hub __call__,
+        zero123plus.py:751-833). cond_image (1,3,Hc,Wc) in [-1,1];
+        depth_image (1,3,height,width) in [0,1]-ish (depth transforms).
+        Returns [0,1] RGB grid (1,3,height,width)."""
+        key = jax.random.PRNGKey(0) if key is None else key
+        k_cond, k_lat, k_loop = jax.random.split(key, 3)
+        cond_lat_pair, ehs = self.prepare_conditioning(cond_image, k_cond)
+
+        sig = ("gen", num_inference_steps, height, width)
+        if sig not in self._jit_cache:
+            euler = self.euler
+            ts, sigmas = euler.timesteps_and_sigmas(num_inference_steps)
+
+            def run(params, cond_lat_pair, ehs, depth, gs, key):
+                kl, key = jax.random.split(key)
+                lat = jax.random.normal(
+                    kl, (1, 4, height // 8, width // 8)) * sigmas[0]
+
+                def body(carry, inp):
+                    lat, key = carry
+                    t, i = inp
+                    kw, ks_, key = jax.random.split(key, 3)
+                    sigma = sigmas[i]
+                    v = self._cfg_v_pred(
+                        params, lat, t, cond_lat_pair, ehs, depth, gs, kw,
+                        scale_input=lambda x: euler.scale_model_input(
+                            x, sigma))
+                    lat = euler.step(v, i, lat, sigmas, ks_)
+                    return (lat, key), None
+
+                (lat, _), _ = jax.lax.scan(
+                    body, (lat, key), (ts, jnp.arange(ts.shape[0])))
+                lat = unscale_latents(lat)
+                img = self.vae.apply(params["vae"], lat / VAE_SCALE,
+                                     method=self.vae.decode)
+                img = unscale_image(img)
+                return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+
+            self._jit_cache[sig] = jax.jit(run)
+        return self._jit_cache[sig](self.params, cond_lat_pair, ehs,
+                                    depth_image,
+                                    jnp.asarray(guidance_scale, jnp.float32),
+                                    k_loop)

@@ -119,7 +119,8 @@ class TexturedMeshModel:
 
     def init_params(self, key: jax.Array):
         dummy = jnp.zeros((1, embedder_out_dim(self.multires)))
-        return self.texture_mlp.init(key, dummy)
+        # jitted init: one compile instead of one tiny compile per parameter
+        return jax.jit(self.texture_mlp.init)(key, dummy)
 
     # -- texture synthesis ----------------------------------------------------
 

@@ -1,0 +1,531 @@
+"""ConTEXTure trainer: SDS texture optimization with the Zero123++ teacher.
+
+Replaces the reference orchestrator (src/training/trainer.py:108-1218) with a
+TPU-native loop:
+
+  - geometry is rasterized once; the per-iteration graph (render -> static
+    crop+resize -> 3x2 grid -> VAE encode -> add_noise -> teacher v-pred
+    (ControlNet + reference attention) -> SDS grad -> tile MSE -> adam) is ONE
+    jitted function with zero host round-trips. The reference crosses
+    host<->device every iteration (PIL conversions trainer.py:573,598,787-796,
+    .cpu() indexing :799-831, per-iter wandb :875).
+  - DreamTime timesteps are precomputed as an array (the reference rebuilds
+    the scheduler object every iteration, trainer.py:695).
+  - crop bboxes are computed once from the fixed view masks and baked into the
+    jitted step as static slices (reference recomputes per iteration,
+    trainer.py:716).
+  - real checkpoint/resume via orbax (absent in the reference: its
+    checkpoints/ dir is created but never written, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from contexture_nerf_tpu.core.config import TrainConfig, dump_config
+from contexture_nerf_tpu.diffusion import schedulers as sch
+from contexture_nerf_tpu.diffusion.sd_depth import (SDWeightPaths,
+                                                    StableDiffusionDepth)
+from contexture_nerf_tpu.diffusion.zero123plus import (Zero123PlusPipeline,
+                                                       scale_image,
+                                                       scale_latents,
+                                                       unscale_image)
+from contexture_nerf_tpu.models.textured_mesh import TexturedMeshModel
+from contexture_nerf_tpu.ops.grid import merge_6_to_grid, split_grid_to_6
+from contexture_nerf_tpu.ops.image import (color_with_shade, crop_and_resize,
+                                           get_nonzero_region_tuple,
+                                           resize_bilinear, tensor2numpy)
+from contexture_nerf_tpu.ops.view_weights import compute_view_weights
+from contexture_nerf_tpu.training.views_dataset import (MultiviewDataset,
+                                                        ViewsDataset,
+                                                        Zero123PlusDataset)
+
+logger = logging.getLogger("contexture_nerf_tpu")
+
+
+def make_path(p: Path) -> Path:
+    p.mkdir(exist_ok=True, parents=True)
+    return p
+
+
+class ConTEXTure:
+    """Text -> textured mesh (reference ConTEXTure, trainer.py:108)."""
+
+    def __init__(self, cfg: TrainConfig, tiny_models: bool = False,
+                 backend: Optional[str] = None):
+        self.cfg = cfg
+        self.paint_step = 0
+        self.tiny = tiny_models
+
+        self.exp_path = make_path(Path(cfg.log.exp_dir))
+        self.ckpt_path = make_path(self.exp_path / "checkpoints")
+        self.train_renders_path = make_path(self.exp_path / "vis" / "train")
+        self.eval_renders_path = make_path(self.exp_path / "vis" / "eval")
+        self.final_renders_path = make_path(self.exp_path / "results")
+        self._init_logger()
+        dump_config(cfg, self.exp_path / "config.yaml")
+
+        self.key = jax.random.PRNGKey(cfg.optim.seed)
+        self.view_dirs = ["front", "left", "back", "right", "overhead",
+                          "bottom"]
+
+        self.mesh_model = self._init_mesh_model(backend)
+        self.diffusion = self._init_diffusion()
+        if cfg.guide.use_zero123plus:
+            self.zero123plus = self._init_zero123plus()
+        self.text_z, self.text_string = self._calc_text_embeddings()
+        self.dataloaders = self._init_dataloaders()
+
+        bg_path = Path(cfg.guide.background_img)
+        if bg_path.exists():
+            from PIL import Image
+
+            im = np.asarray(Image.open(bg_path).convert("RGB"),
+                            np.float32) / 255.0
+            self.back_im = jnp.asarray(im.transpose(2, 0, 1))
+        else:
+            self.back_im = jnp.full((3, 64, 64), 0.5)
+
+        self.zero123_front_input = None
+        self.view_weights = None
+        self._median_eval = False
+
+    # -- setup ------------------------------------------------------------
+
+    def _init_logger(self):
+        logging.basicConfig(level=logging.INFO,
+                            format="%(asctime)s %(message)s")
+        fh = logging.FileHandler(self.exp_path / "log.txt")
+        logger.addHandler(fh)
+
+    def _init_mesh_model(self, backend) -> TexturedMeshModel:
+        cache_path = Path("cache") / Path(self.cfg.guide.shape_path).stem
+        cache_path.mkdir(parents=True, exist_ok=True)
+        model = TexturedMeshModel(
+            self.cfg.guide,
+            render_grid_size=self.cfg.render.train_grid_size,
+            cache_path=cache_path,
+            texture_resolution=self.cfg.guide.texture_resolution,
+            fovyangle=np.pi / 3,
+            env_sphere_path="shapes/env_sphere.obj",
+            backend=backend)
+        self.key, sub = jax.random.split(self.key)
+        self.texture_params = model.init_params(sub)
+        n = sum(int(np.prod(p.shape))
+                for p in jax.tree.leaves(self.texture_params))
+        logger.info(f"Loaded Mesh, #parameters: {n}")
+        return model
+
+    def _init_diffusion(self) -> StableDiffusionDepth:
+        return StableDiffusionDepth(
+            min_timestep=self.cfg.optim.min_timestep,
+            max_timestep=self.cfg.optim.max_timestep,
+            no_noise=self.cfg.optim.no_noise,
+            use_inpaint=True,
+            tiny=self.tiny,
+            seed=self.cfg.optim.seed)
+
+    def _init_zero123plus(self) -> Zero123PlusPipeline:
+        return Zero123PlusPipeline(conditioning_scale=2.0, tiny=self.tiny,
+                                   seed=self.cfg.optim.seed)
+
+    def _calc_text_embeddings(self):
+        ref_text = self.cfg.guide.text
+        if self.cfg.guide.use_zero123plus:
+            assert not self.cfg.guide.append_direction, \
+                "append_direction should be False when use_zero123plus is True"
+            text_string = [ref_text, ref_text + ", front view"]
+            text_z = [self.diffusion.get_text_embeds([t])
+                      for t in text_string]
+        elif not self.cfg.guide.append_direction:
+            text_z = self.diffusion.get_text_embeds([ref_text])
+            text_string = ref_text
+        else:
+            text_string = [ref_text.format(d) for d in self.view_dirs]
+            text_z = [self.diffusion.get_text_embeds([t])
+                      for t in text_string]
+        return text_z, text_string
+
+    def _init_dataloaders(self) -> Dict[str, Any]:
+        if self.cfg.guide.use_zero123plus:
+            train = Zero123PlusDataset(self.cfg.render)
+        else:
+            train = MultiviewDataset(self.cfg.render)
+        return {
+            "train": train,
+            "val": ViewsDataset(self.cfg.render, size=self.cfg.log.eval_size),
+            "val_large": ViewsDataset(self.cfg.render,
+                                      size=self.cfg.log.full_eval_size),
+        }
+
+    # -- view weights -------------------------------------------------------
+
+    def define_view_weights(self):
+        """(reference trainer.py:370-415)"""
+        poses = self.dataloaders["train"].poses()
+        front_offset = np.deg2rad(self.cfg.render.front_offset)
+        self.thetas = [p["theta"] for p in poses]
+        self.phis = [(p["phi"] - front_offset) % (2 * np.pi) for p in poses]
+        self.radii = [p["radius"] for p in poses]
+
+        cache = self.mesh_model.render_geometry(
+            theta=self.thetas, phi=self.phis, radius=self.radii)
+        face_normals_z = cache.face_normals[..., 2]  # (B, F)
+        weight_masks = compute_view_weights(cache.face_idx[:, None],
+                                            face_normals_z)
+        self.view_weights = weight_masks
+        self._geometry_cache = cache
+        logger.info(f"Successfully initialized {self.cfg.log.exp_name}")
+
+    # -- main ----------------------------------------------------------------
+
+    def paint(self):
+        self.paint_zero123plus()
+
+    def paint_zero123plus(self):
+        """The SDS texture loop (reference trainer.py:545-911)."""
+        logger.info("Starting SDS Texture Generation ^_^")
+        self.define_view_weights()
+        background_gray = jnp.array([0.5, 0.5, 0.5])
+
+        # 1. front-view bootstrap (SD2-depth img2img)
+        frontview_data = self.dataloaders["train"].poses()[0]
+        rgb_output_front, object_mask_front = self.paint_viewpoint(
+            frontview_data, should_project_back=False)
+
+        # 2. all-view geometry + depth
+        cache = self._geometry_cache
+        outputs = self.mesh_model.render(
+            self.texture_params, render_cache=cache,
+            background=background_gray)
+        object_masks = outputs["mask"]
+        depth_maps = 1.0 - outputs["depth"]
+        B = int(object_masks.shape[0])
+
+        # 3. cond image: front crop -> 320^2, gray-composited RGBA
+        masks_np = np.asarray(object_masks[:, 0])
+        bbox_front = get_nonzero_region_tuple(
+            np.asarray(object_mask_front[0, 0]))
+        front_rgb = crop_and_resize(rgb_output_front, bbox_front, 320, 320)
+        front_a = crop_and_resize(object_mask_front, bbox_front, 320, 320)
+        cond_image = front_rgb * front_a + 0.5 * (1 - front_a)  # to_rgb_image
+
+        # 4. depth grid for the 6 target views (alpha -> gray bg)
+        self._bboxes = [get_nonzero_region_tuple(masks_np[i])
+                        for i in range(B)]
+        depth_tiles = []
+        for i in range(1, B):
+            d = crop_and_resize(depth_maps[i:i + 1], self._bboxes[i], 320, 320)
+            a = crop_and_resize(object_masks[i:i + 1], self._bboxes[i],
+                                320, 320)
+            depth_tiles.append(
+                jnp.concatenate([d, d, d], axis=1) * a + 0.5 * (1 - a))
+        depth_grid = merge_6_to_grid(jnp.concatenate(depth_tiles, axis=0))
+        self.log_train_image(depth_grid, "cropped_depth_grid",
+                             file_type="png")
+
+        # 5. one-time teacher conditioning
+        self.key, k_cond = jax.random.split(self.key)
+        cond_lat_pair, encoder_hidden_states = \
+            self.zero123plus.prepare_conditioning(cond_image * 2 - 1, k_cond)
+
+        # 6. jitted SDS step
+        iterations = self.cfg.optim.sds_iterations
+        acp = self.zero123plus.alphas_cumprod
+        t_schedule = sch.dreamtime_schedule(acp, iterations, m=500, s=125)
+        optimizer = optax.adam(self.cfg.optim.sds_lr,
+                               b1=self.cfg.optim.sds_betas[0],
+                               b2=self.cfg.optim.sds_betas[1],
+                               eps=self.cfg.optim.sds_eps)
+        opt_state = optimizer.init(self.texture_params)
+
+        # slice the cache to the 6 target views for the hot loop
+        cache6 = jax.tree.map(lambda x: x[1:], cache)
+        bboxes6 = self._bboxes[1:]
+        mesh_model = self.mesh_model
+        zero123plus = self.zero123plus
+        vae = zero123plus.vae
+        vae_params = zero123plus.params["vae"]
+        guidance_scale = 10.0  # reference trainer.py:768
+        grad_scale = 0.2  # reference trainer.py:830
+        # latent tile size: 320 px tile / VAE downsample factor (=40 for SD)
+        vae_down = 2 ** (len(zero123plus.vae_config.block_out_channels) - 1)
+        lat_tile = 320 // vae_down
+
+        def render_grid_latent(params, key):
+            texture, mlp_out = mesh_model.get_texture_map(params)
+            image, mask, _, _ = mesh_model.renderer.render_texture_with_cache(
+                cache6, texture, background_type="none")
+            image = jnp.clip(image * mask + 0.5 * (1 - mask), 0.0, 1.0)
+            tiles = [crop_and_resize(image[i:i + 1], bboxes6[i], 320, 320)
+                     for i in range(6)]
+            grid = merge_6_to_grid(jnp.concatenate(tiles, axis=0))
+            grid = scale_image(grid * 2 - 1)
+            mean, logvar = vae.apply(vae_params, grid,
+                                     method=vae.encode_moments)
+            from contexture_nerf_tpu.diffusion.vae import sample_gaussian
+
+            z = sample_gaussian(mean, logvar, key) * \
+                zero123plus.vae_config.scaling_factor
+            return scale_latents(z), grid, mlp_out
+
+        def sds_step(params, opt_state, t, key):
+            k_enc, k_noise, k_teach, k_tile = jax.random.split(key, 4)
+            tile_idx = jax.random.randint(k_tile, (), 0, 6)
+
+            def loss_fn(p):
+                z, grid, mlp_out = render_grid_latent(p, k_enc)
+                z_sg = jax.lax.stop_gradient(z)
+                noise = jax.random.normal(k_noise, z.shape)
+                latents_noisy = sch.add_noise(acp, z_sg, noise, t)
+                v_pred = jax.lax.stop_gradient(
+                    zero123plus.teacher_v_pred(
+                        latents_noisy, t, cond_lat_pair,
+                        encoder_hidden_states, depth_grid, guidance_scale,
+                        k_teach))
+                v = sch.velocity_target(acp, z_sg, noise, t)
+                w = (1 - acp[t]).reshape(-1, 1, 1, 1)
+                sqrt_acp = jnp.sqrt(acp[t]).reshape(-1, 1, 1, 1)
+                g = grad_scale * w * sqrt_acp * (v_pred - v)
+                g = jnp.nan_to_num(g)
+                targets = jax.lax.stop_gradient(z_sg - g)
+                z_tiles = split_grid_to_6(z, lat_tile)
+                tgt_tiles = split_grid_to_6(targets, lat_tile)
+                sds_loss = 0.5 * jnp.sum(
+                    (z_tiles[tile_idx] - tgt_tiles[tile_idx]) ** 2
+                ) / z.shape[0]
+                return sds_loss, (grid, v_pred, v, w)
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params)
+            grid, v_pred, v, w = aux
+            grad_norm = optax.global_norm(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            fisher = jnp.sum((jnp.sqrt(acp[t]) /
+                              jnp.clip(jnp.sqrt(1 - acp[t]), 1e-8)) ** 2
+                             * jnp.abs(v_pred - v) ** 2)
+            return params, opt_state, loss, grad_norm, fisher, grid
+
+        sds_step_jit = jax.jit(sds_step)
+
+        # teacher jit warms inside first call
+        params = self.texture_params
+        metrics_log = []
+        ikl_running_avg = None
+        t_schedule_np = np.asarray(t_schedule)
+        t0 = time.time()
+        for i in range(iterations):
+            self.key, sub = jax.random.split(self.key)
+            t = jnp.asarray([int(t_schedule_np[i])], jnp.int32)
+            params, opt_state, loss, grad_norm, fisher, grid = sds_step_jit(
+                params, opt_state, t, sub)
+            if i % 50 == 0 or i == iterations - 1:
+                loss_f = float(loss)
+                fisher_f = float(fisher)
+                ikl_running_avg = (fisher_f if ikl_running_avg is None
+                                   else 0.99 * ikl_running_avg
+                                   + 0.01 * fisher_f)
+                metrics_log.append(
+                    {"iter": i, "sds_loss": loss_f,
+                     "grad_norm": float(grad_norm),
+                     "fisher_divergence_t": fisher_f,
+                     "ikl_running_avg": ikl_running_avg,
+                     "t": int(t_schedule_np[i]),
+                     "elapsed_s": time.time() - t0})
+                logger.info(f"iter {i}: sds_loss={loss_f:.4f} "
+                            f"t={int(t_schedule_np[i])} "
+                            f"grad_norm={float(grad_norm):.4g}")
+            if (i % 10 == 0 and i < 1000 and self.cfg.log.log_images) or \
+                    (i % 100 == 0 and self.cfg.log.log_images):
+                if i % 500 == 0:
+                    self.log_texture_map(params, i)
+                    self.log_train_image(
+                        (unscale_image(grid) + 1) / 2,
+                        f"rendered_grid_clean_{i}")
+            if i % 1000 == 0 and i > 0:
+                self.save_checkpoint(params, opt_state, i)
+
+        self.texture_params = params
+        (self.exp_path / "metrics.json").write_text(
+            json.dumps(metrics_log, indent=1))
+        self.save_checkpoint(params, opt_state, iterations)
+        self._median_eval = True  # change_default_to_median (trainer.py:909)
+        logger.info("Finished SDS Painting ^_^")
+        self.full_eval()
+
+    # -- front-view bootstrap ---------------------------------------------------
+
+    def paint_viewpoint(self, data: Dict[str, Any],
+                        should_project_back: bool = True):
+        """(reference trainer.py:971-1117)"""
+        self.paint_step += 1
+        logger.info(f"--- Painting step #{self.paint_step} ---")
+        theta, phi, radius = data["theta"], data["phi"], data["radius"]
+        phi = phi - np.deg2rad(self.cfg.render.front_offset)
+        phi = float(phi + 2 * np.pi if phi < 0 else phi)
+        logger.info(
+            f"Painting from theta: {theta}, phi: {phi}, radius: {radius}")
+
+        if self.cfg.guide.use_background_color:
+            background = jnp.array([0.0, 0.8, 0.0])
+        else:
+            sz = self.cfg.render.train_grid_size
+            background = resize_bilinear(self.back_im[None], sz, sz)
+
+        outputs = self.mesh_model.render(
+            self.texture_params, theta=theta, phi=phi, radius=radius,
+            background=background)
+        rgb_render = outputs["image"]
+        depth_render = outputs["depth"]
+        object_mask = outputs["mask"]
+
+        self.log_train_image(rgb_render, "paint_viewpoint:rgb_render")
+
+        if self.cfg.guide.use_zero123plus:
+            text_z = self.text_z[1]
+        else:
+            text_z = self.text_z
+        bbox = get_nonzero_region_tuple(np.asarray(object_mask[0, 0]))
+        mh, mw, Mh, Mw = bbox
+        cropped_rgb = rgb_render[:, :, mh:Mh, mw:Mw]
+        cropped_depth = depth_render[:, :, mh:Mh, mw:Mw]
+        cropped_mask = object_mask[:, :, mh:Mh, mw:Mw]
+
+        self.diffusion.use_inpaint = (self.cfg.guide.use_inpainting
+                                      and self.paint_step > 1)
+        start = time.perf_counter()
+        cropped_rgb_output, _ = self.diffusion.img2img_step(
+            text_z, cropped_rgb, cropped_depth,
+            guidance_scale=self.cfg.guide.guidance_scale,
+            strength=1.0, update_mask=cropped_mask,
+            fixed_seed=self.cfg.optim.seed)
+        logger.info(f"img2img elapsed: {time.perf_counter() - start:.2f}s")
+
+        # paste the generated crop back into the full frame
+        cropped_rgb_output = resize_bilinear(cropped_rgb_output,
+                                             Mh - mh, Mw - mw)
+        rgb_output = rgb_render.at[:, :, mh:Mh, mw:Mw].set(cropped_rgb_output)
+        self.log_train_image(rgb_output, "full_output")
+        return rgb_output, object_mask
+
+    # -- eval ---------------------------------------------------------------------
+
+    def eval_render(self, data):
+        """(reference trainer.py:1119-1157)"""
+        theta = data["theta"]
+        phi = data["phi"] - np.deg2rad(self.cfg.render.front_offset)
+        phi = float(phi + 2 * np.pi if phi < 0 else phi)
+        dim = self.cfg.render.eval_grid_size
+        outputs = self.mesh_model.render(
+            self.texture_params, theta=theta, phi=phi, radius=data["radius"],
+            dims=(dim, dim), background="white",
+            use_median=self._median_eval)
+        z_normals = jnp.clip(outputs["normals"][:, -1:], 0, 1)
+        rgb_render = outputs["image"]
+        default = jnp.asarray(self.mesh_model.default_color).reshape(1, 3, 1, 1)
+        diff = jnp.abs(rgb_render - default).sum(axis=1)
+        uncolored = (diff < 0.1).astype(rgb_render.dtype)[:, None]
+        shade = color_with_shade([0.85, 0.85, 0.85], z_normals,
+                                 light_coef=0.3)
+        rgb_render = rgb_render * (1 - uncolored) + shade * uncolored
+        rgb = jnp.clip(jnp.transpose(rgb_render, (0, 2, 3, 1)), 0, 1)
+        texture = jnp.clip(
+            jnp.transpose(outputs["texture_map"], (0, 2, 3, 1)), 0, 1)
+        depth = jnp.transpose(outputs["depth"], (0, 2, 3, 1))
+        return rgb, texture, depth, z_normals
+
+    def evaluate(self, dataloader, save_path: Path,
+                 save_as_video: bool = False):
+        logger.info(f"Evaluating and saving model, painting iteration "
+                    f"#{self.paint_step}...")
+        save_path.mkdir(exist_ok=True, parents=True)
+        all_preds = []
+        texture = None
+        for i, data in enumerate(dataloader):
+            preds, textures, depths, normals = self.eval_render(data)
+            pred = tensor2numpy(preds[0])
+            texture = textures
+            if save_as_video:
+                all_preds.append(pred)
+            else:
+                from PIL import Image
+
+                Image.fromarray(pred).save(
+                    save_path / f"eval_rendered_{i:04d}_rgb.jpg")
+        from PIL import Image
+
+        Image.fromarray(tensor2numpy(texture[0])).save(
+            save_path / "eval_texture_atlas.png")
+        if save_as_video and all_preds:
+            import imageio
+
+            imageio.mimsave(
+                save_path /
+                f"eval_video_all_rendered_rgb_{self.cfg.optim.seed}.mp4",
+                np.stack(all_preds, axis=0), fps=25, quality=8,
+                macro_block_size=1)
+        logger.info("Eval Done!")
+
+    def full_eval(self, output_dir: Optional[Path] = None):
+        output_dir = output_dir or self.final_renders_path
+        self.evaluate(self.dataloaders["val_large"], output_dir,
+                      save_as_video=True)
+        if self.cfg.log.save_mesh:
+            save_path = make_path(self.exp_path / "mesh")
+            logger.info(f"Saving mesh to {save_path}")
+            self.mesh_model.export_mesh(save_path, self.texture_params)
+            logger.info("\t Full Eval Done!")
+
+    # -- checkpointing (new capability; SURVEY.md §5) ------------------------------
+
+    def save_checkpoint(self, params, opt_state, iteration: int):
+        import orbax.checkpoint as ocp
+
+        path = (self.ckpt_path / f"iter_{iteration:06d}").absolute()
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {"params": params, "iteration": iteration},
+                   force=True)
+        ckptr.wait_until_finished()
+
+    def load_checkpoint(self, iteration: int):
+        import orbax.checkpoint as ocp
+
+        path = (self.ckpt_path / f"iter_{iteration:06d}").absolute()
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(path)
+        self.texture_params = restored["params"]
+        return restored
+
+    # -- logging --------------------------------------------------------------------
+
+    def log_train_image(self, tensor, name: str, file_type: str = "jpg"):
+        if not self.cfg.log.log_images:
+            return
+        from PIL import Image
+
+        arr = np.asarray(jnp.clip(tensor, 0, 1)[0]).transpose(1, 2, 0)
+        if np.any(np.isnan(arr)) or np.any(np.isinf(arr)):
+            raise ValueError("Tensor contains NaNs or infinite values")
+        if arr.shape[-1] == 4:
+            arr = arr[..., :3]
+        Image.fromarray((arr * 255).astype(np.uint8)).save(
+            self.train_renders_path / f"debug_{name}.{file_type}")
+
+    def log_texture_map(self, params, iteration: int):
+        from PIL import Image
+
+        tex, _ = self.mesh_model.get_texture_map(params)
+        arr = np.asarray(jnp.clip(tex, 0, 1)[0]).transpose(1, 2, 0)
+        Image.fromarray((arr * 255).astype(np.uint8)).save(
+            self.train_renders_path / f"texture_map_iter_{iteration:06d}.png")

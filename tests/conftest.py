@@ -3,11 +3,22 @@ run cluster-free (SURVEY.md §4). Set RUN_TPU_TESTS=1 to keep the real backend
 (TPU-gated tests check for it explicitly)."""
 
 import os
+import pathlib
 
 if not os.environ.get("RUN_TPU_TESTS"):
     os.environ["JAX_PLATFORMS"] = "cpu"
+# 8 virtual devices for cluster-free sharding tests; optimization level 0
+# because this CI host has a single CPU core and default XLA-CPU compiles of
+# even tiny UNets take minutes there.
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8")
+                           + " --xla_force_host_platform_device_count=8"
+                           + " --xla_backend_optimization_level=0")
+
+import jax  # noqa: E402
+
+_CACHE = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(_CACHE))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -59,8 +59,9 @@ def model(tiny_mesh_obj):
 
 def test_render_outputs(model):
     params = model.init_params(jax.random.PRNGKey(0))
-    out = model.render(params, theta=np.pi / 2, phi=0.0, radius=2.0,
-                       background=jnp.array([0.5, 0.5, 0.5]))
+    out = jax.jit(lambda p: model.render(
+        p, theta=np.pi / 2, phi=0.0, radius=2.0,
+        background=jnp.array([0.5, 0.5, 0.5])))(params)
     assert out["image"].shape == (1, 3, 64, 64)
     assert out["mask"].shape == (1, 1, 64, 64)
     assert out["depth"].shape == (1, 1, 64, 64)
@@ -78,11 +79,12 @@ def test_render_outputs(model):
 
 def test_render_cache_reuse_and_batching(model):
     params = model.init_params(jax.random.PRNGKey(0))
-    out = model.render(params, theta=[np.pi / 2, np.pi / 3], phi=[0.0, 1.0],
-                       radius=[2.0, 2.0], background="white")
+    out = jax.jit(lambda p: model.render(
+        p, theta=[np.pi / 2, np.pi / 3], phi=[0.0, 1.0],
+        radius=[2.0, 2.0], background="white"))(params)
     assert out["image"].shape == (2, 3, 64, 64)
-    out2 = model.render(params, render_cache=out["render_cache"],
-                        background="white")
+    out2 = jax.jit(lambda p, rc: model.render(
+        p, render_cache=rc, background="white"))(params, out["render_cache"])
     np.testing.assert_allclose(np.asarray(out["image"]),
                                np.asarray(out2["image"]), atol=1e-6)
 
@@ -97,7 +99,7 @@ def test_gradient_flows_to_mlp_through_render(model):
                            background=jnp.zeros(3))
         return jnp.mean((out["image"] - 0.7) ** 2)
 
-    g = jax.grad(loss)(params)
+    g = jax.jit(jax.grad(loss))(params)
     total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
     assert np.isfinite(total) and total > 0
 

@@ -88,10 +88,10 @@ def test_pallas_interpret_matches_xla(rng):
     F = 37
     v = rng.uniform(-1, 1, (1, F, 3, 2)).astype(np.float32)
     z = -rng.uniform(0.5, 2.0, (1, F, 3)).astype(np.float32)
-    fi_x, bary_x = rasterize_geometry(jnp.asarray(z), jnp.asarray(v), 24, 40,
+    fi_x, bary_x = rasterize_geometry(jnp.asarray(z), jnp.asarray(v), 8, 40,
                                       face_chunk=8)
     fi_p, bary_p = rasterize_geometry_pallas(jnp.asarray(z), jnp.asarray(v),
-                                             24, 40, interpret=True)
+                                             8, 40, interpret=True)
     fi_x, fi_p = np.asarray(fi_x), np.asarray(fi_p)
     # Morton sorting may re-resolve exact-z ties; demand covered-set equality
     assert ((fi_x >= 0) == (fi_p >= 0)).all()
