@@ -171,7 +171,8 @@ class StableDiffusionDepth:
         """Compile the full denoise loop once per static signature."""
         pndm = self.scheduler
         timesteps = pndm.timesteps(num_inference_steps)
-        lat_sz = image_size // 8
+        vae_down = 2 ** (len(self.vae_config.block_out_channels) - 1)
+        lat_sz = image_size // vae_down
         inpaint_on = use_inpaint and self.inpaint_unet is not None
 
         def run(params, text_embeddings, rgb, depth, update_mask,

@@ -229,17 +229,35 @@ class Zero123PlusPipeline:
                     key, scale_input):
         """One CFG-combined model forward at timestep t.
 
-        latents: (1,4,H,W); cond_lat_pair: (2,4,hc,wc);
-        depth_image: (1,3,8H,8W). Mirrors RefOnlyNoisedUNet.forward +
+        latents: (B,4,H,W); cond_lat_pair: (2,4,hc,wc);
+        depth_image: (B,3,8H,8W). Mirrors RefOnlyNoisedUNet.forward +
         DepthControlUNet.forward (zero123plus.py:202-237,280-298)."""
+        B = latents.shape[0]
+        if B > 1:  # tile the CFG pair across the latent batch
+            neg, cond = jnp.split(cond_lat_pair, 2, axis=0)
+            cond_lat_pair = jnp.concatenate(
+                [jnp.repeat(neg, B, 0), jnp.repeat(cond, B, 0)])
+            neg_e, cond_e = jnp.split(encoder_hidden_states, 2, axis=0)
+            encoder_hidden_states = jnp.concatenate(
+                [jnp.repeat(neg_e, B, 0), jnp.repeat(cond_e, B, 0)])
         lat_in = jnp.concatenate([latents] * 2)
         lat_in = scale_input(lat_in)
+
+        # the ControlNet cond embedder downsamples by 8; align the pixel-space
+        # depth image to 8x the latent grid (matters when the VAE's downsample
+        # factor differs, e.g. tiny test configs)
+        th, tw = latents.shape[2] * 8, latents.shape[3] * 8
+        if depth_image.shape[2:] != (th, tw):
+            depth_image = jax.image.resize(
+                depth_image, depth_image.shape[:2] + (th, tw),
+                method="linear")
 
         # write pass: noise the cond latent to t (val scheduler semantics)
         noise = jax.random.normal(key, cond_lat_pair.shape,
                                   cond_lat_pair.dtype)
         noisy_cond = sch.add_noise(self.alphas_cumprod, cond_lat_pair, noise,
-                                   jnp.broadcast_to(t, (2,)))
+                                   jnp.broadcast_to(t,
+                                                    (cond_lat_pair.shape[0],)))
         noisy_cond = scale_input(noisy_cond)
         ref = []
         self.unet.apply(params["unet"], noisy_cond, t,

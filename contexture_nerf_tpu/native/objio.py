@@ -1,0 +1,104 @@
+"""ctypes bindings for the native OBJ loader / atlas packer.
+
+Builds lazily with g++ on first use (cached as libobjio.so next to the
+source); all callers fall back to the pure-numpy implementations when the
+toolchain is unavailable."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_SO = _DIR / "libobjio.so"
+_LIB = None
+
+
+class _ObjMesh(ctypes.Structure):
+    _fields_ = [
+        ("vertices", ctypes.POINTER(ctypes.c_float)),
+        ("n_vertices", ctypes.c_int64),
+        ("faces", ctypes.POINTER(ctypes.c_int64)),
+        ("n_faces", ctypes.c_int64),
+        ("uvs", ctypes.POINTER(ctypes.c_float)),
+        ("n_uvs", ctypes.c_int64),
+        ("face_uvs", ctypes.POINTER(ctypes.c_int64)),
+    ]
+
+
+def _build() -> Optional[Path]:
+    if _SO.exists():
+        return _SO
+    src = _DIR / "objio.cpp"
+    try:
+        subprocess.run(["g++", "-O2", "-shared", "-fPIC", str(src),
+                        "-o", str(_SO)], check=True, capture_output=True,
+                       timeout=120)
+        return _SO
+    except Exception:
+        return None
+
+
+def _lib():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    so = _build()
+    if so is None:
+        _LIB = False
+        return False
+    lib = ctypes.CDLL(str(so))
+    lib.objio_load.argtypes = [ctypes.c_char_p, ctypes.POINTER(_ObjMesh)]
+    lib.objio_load.restype = ctypes.c_int
+    lib.objio_free.argtypes = [ctypes.POINTER(_ObjMesh)]
+    lib.objio_atlas_unwrap.argtypes = [
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.objio_atlas_unwrap.restype = ctypes.c_int
+    _LIB = lib
+    return lib
+
+
+def load_obj(path: str):
+    """Native OBJ parse; returns (verts, faces, uvs|None, ft|None) or None if
+    the native library is unavailable."""
+    lib = _lib()
+    if not lib:
+        return None
+    mesh = _ObjMesh()
+    rc = lib.objio_load(str(path).encode(), ctypes.byref(mesh))
+    if rc != 0:
+        return None
+    try:
+        nv, nf, nt = mesh.n_vertices, mesh.n_faces, mesh.n_uvs
+        verts = np.ctypeslib.as_array(mesh.vertices, (nv, 3)).copy()
+        faces = np.ctypeslib.as_array(mesh.faces, (nf, 3)).copy()
+        if nt > 0:
+            uvs = np.ctypeslib.as_array(mesh.uvs, (nt, 2)).copy()
+            ft = np.ctypeslib.as_array(mesh.face_uvs, (nf, 3)).copy()
+            if ft.min() < 0:
+                uvs, ft = None, None
+        else:
+            uvs, ft = None, None
+        return verts, faces, uvs, ft
+    finally:
+        lib.objio_free(ctypes.byref(mesh))
+
+
+def atlas_unwrap_native(n_faces: int) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    lib = _lib()
+    if not lib:
+        return None
+    vt = np.zeros((3 * n_faces, 2), np.float32)
+    ft = np.zeros((n_faces, 3), np.int64)
+    rc = lib.objio_atlas_unwrap(
+        n_faces, vt.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ft.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        return None
+    return vt, ft

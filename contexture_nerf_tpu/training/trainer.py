@@ -66,6 +66,9 @@ class ConTEXTure:
         self.cfg = cfg
         self.paint_step = 0
         self.tiny = tiny_models
+        # Zero123++ grid tile size in pixels (reference: 320, trainer.py:573,
+        # 587); reduced in tiny-model mode so test UNets see small token counts
+        self.tile_px = 32 if tiny_models else 320
 
         self.exp_path = make_path(Path(cfg.log.exp_dir))
         self.ckpt_path = make_path(self.exp_path / "checkpoints")
@@ -216,8 +219,9 @@ class ConTEXTure:
         masks_np = np.asarray(object_masks[:, 0])
         bbox_front = get_nonzero_region_tuple(
             np.asarray(object_mask_front[0, 0]))
-        front_rgb = crop_and_resize(rgb_output_front, bbox_front, 320, 320)
-        front_a = crop_and_resize(object_mask_front, bbox_front, 320, 320)
+        tp = self.tile_px
+        front_rgb = crop_and_resize(rgb_output_front, bbox_front, tp, tp)
+        front_a = crop_and_resize(object_mask_front, bbox_front, tp, tp)
         cond_image = front_rgb * front_a + 0.5 * (1 - front_a)  # to_rgb_image
 
         # 4. depth grid for the 6 target views (alpha -> gray bg)
@@ -225,9 +229,9 @@ class ConTEXTure:
                         for i in range(B)]
         depth_tiles = []
         for i in range(1, B):
-            d = crop_and_resize(depth_maps[i:i + 1], self._bboxes[i], 320, 320)
+            d = crop_and_resize(depth_maps[i:i + 1], self._bboxes[i], tp, tp)
             a = crop_and_resize(object_masks[i:i + 1], self._bboxes[i],
-                                320, 320)
+                                tp, tp)
             depth_tiles.append(
                 jnp.concatenate([d, d, d], axis=1) * a + 0.5 * (1 - a))
         depth_grid = merge_6_to_grid(jnp.concatenate(depth_tiles, axis=0))
@@ -258,16 +262,18 @@ class ConTEXTure:
         vae_params = zero123plus.params["vae"]
         guidance_scale = 10.0  # reference trainer.py:768
         grad_scale = 0.2  # reference trainer.py:830
-        # latent tile size: 320 px tile / VAE downsample factor (=40 for SD)
+        # latent tile size: tile px / VAE downsample factor (=40 for SD)
         vae_down = 2 ** (len(zero123plus.vae_config.block_out_channels) - 1)
-        lat_tile = 320 // vae_down
+        lat_tile = self.tile_px // vae_down
+        tile_px = self.tile_px
 
-        def render_grid_latent(params, key):
+        def render_grid_latent(params, cache6, key):
             texture, mlp_out = mesh_model.get_texture_map(params)
             image, mask, _, _ = mesh_model.renderer.render_texture_with_cache(
                 cache6, texture, background_type="none")
             image = jnp.clip(image * mask + 0.5 * (1 - mask), 0.0, 1.0)
-            tiles = [crop_and_resize(image[i:i + 1], bboxes6[i], 320, 320)
+            tiles = [crop_and_resize(image[i:i + 1], bboxes6[i],
+                                     tile_px, tile_px)
                      for i in range(6)]
             grid = merge_6_to_grid(jnp.concatenate(tiles, axis=0))
             grid = scale_image(grid * 2 - 1)
@@ -279,12 +285,13 @@ class ConTEXTure:
                 zero123plus.vae_config.scaling_factor
             return scale_latents(z), grid, mlp_out
 
-        def sds_step(params, opt_state, t, key):
+        def sds_step(params, opt_state, t, key, cache6, depth_grid,
+                     cond_lat_pair, encoder_hidden_states):
             k_enc, k_noise, k_teach, k_tile = jax.random.split(key, 4)
             tile_idx = jax.random.randint(k_tile, (), 0, 6)
 
             def loss_fn(p):
-                z, grid, mlp_out = render_grid_latent(p, k_enc)
+                z, grid, mlp_out = render_grid_latent(p, cache6, k_enc)
                 z_sg = jax.lax.stop_gradient(z)
                 noise = jax.random.normal(k_noise, z.shape)
                 latents_noisy = sch.add_noise(acp, z_sg, noise, t)
@@ -329,7 +336,8 @@ class ConTEXTure:
             self.key, sub = jax.random.split(self.key)
             t = jnp.asarray([int(t_schedule_np[i])], jnp.int32)
             params, opt_state, loss, grad_norm, fisher, grid = sds_step_jit(
-                params, opt_state, t, sub)
+                params, opt_state, t, sub, cache6, depth_grid,
+                cond_lat_pair, encoder_hidden_states)
             if i % 50 == 0 or i == iterations - 1:
                 loss_f = float(loss)
                 fisher_f = float(fisher)
@@ -470,11 +478,15 @@ class ConTEXTure:
         if save_as_video and all_preds:
             import imageio
 
-            imageio.mimsave(
-                save_path /
-                f"eval_video_all_rendered_rgb_{self.cfg.optim.seed}.mp4",
-                np.stack(all_preds, axis=0), fps=25, quality=8,
-                macro_block_size=1)
+            stacked = np.stack(all_preds, axis=0)
+            base = save_path / \
+                f"eval_video_all_rendered_rgb_{self.cfg.optim.seed}"
+            try:
+                imageio.mimsave(base.with_suffix(".mp4"), stacked, fps=25,
+                                quality=8, macro_block_size=1)
+            except (ValueError, ImportError):
+                # no ffmpeg backend in this environment: fall back to GIF
+                imageio.mimsave(base.with_suffix(".gif"), stacked, fps=25)
         logger.info("Eval Done!")
 
     def full_eval(self, output_dir: Optional[Path] = None):

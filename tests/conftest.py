@@ -16,6 +16,11 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 
 import jax  # noqa: E402
 
+if not os.environ.get("RUN_TPU_TESTS"):
+    # the axon sitecustomize pins jax_platforms before env vars are read;
+    # override via config so tests really run on the virtual-8-device CPU
+    jax.config.update("jax_platforms", "cpu")
+
 _CACHE = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
 jax.config.update("jax_compilation_cache_dir", str(_CACHE))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

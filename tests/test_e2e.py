@@ -1,0 +1,84 @@
+"""End-to-end: full pipeline with tiny models on a procedural sphere +
+multi-chip dry run + graft entry traceability.
+
+This is the milestone test from SURVEY.md §7: OBJ load -> raster -> texture
+MLP -> grid -> VAE -> Zero123++ teacher (random weights) -> SDS -> adam ->
+eval/export, end to end on CPU."""
+
+import os
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+@pytest.fixture(scope="module")
+def sphere_obj(tmp_path_factory):
+    from tools.make_shapes import uv_sphere, write_obj
+
+    d = tmp_path_factory.mktemp("shapes")
+    p = d / "sphere.obj"
+    write_obj(p, *uv_sphere(8, 12))
+    return str(p)
+
+
+def _tiny_cfg(sphere_obj, tmp_path, iters=2):
+    from contexture_nerf_tpu.core.config import config_from_dict
+
+    return config_from_dict({
+        "log": {"exp_name": "e2e_tiny", "exp_root": str(tmp_path),
+                "eval_size": 2, "full_eval_size": 2, "log_images": False},
+        "render": {"train_grid_size": 48, "eval_grid_size": 48},
+        "guide": {"text": "a tiny test prompt", "shape_path": sphere_obj,
+                  "texture_resolution": 16},
+        "optim": {"seed": 0, "sds_iterations": iters},
+    })
+
+
+def test_full_pipeline_tiny(sphere_obj, tmp_path):
+    from contexture_nerf_tpu.training.trainer import ConTEXTure
+
+    cfg = _tiny_cfg(sphere_obj, tmp_path)
+    trainer = ConTEXTure(cfg, tiny_models=True, backend="xla")
+    params_before = jax.tree.leaves(trainer.texture_params)
+    trainer.paint()
+    params_after = jax.tree.leaves(trainer.texture_params)
+
+    # parameters moved (SDS actually optimized)
+    moved = sum(float(np.abs(np.asarray(a) - np.asarray(b)).sum())
+                for a, b in zip(params_before, params_after))
+    assert np.isfinite(moved) and moved > 0
+
+    exp = Path(cfg.log.exp_dir)
+    assert (exp / "config.yaml").exists()
+    assert (exp / "metrics.json").exists()
+    assert (exp / "mesh" / "mesh.obj").exists()
+    assert (exp / "mesh" / "albedo.png").exists()
+    vids = (list((exp / "results").glob("*.mp4"))
+            + list((exp / "results").glob("*.gif")))
+    assert vids, "turntable video missing"
+    assert list((exp / "checkpoints").glob("iter_*")), "no checkpoint saved"
+
+
+def test_dryrun_multichip_cpu8():
+    import __graft_entry__ as ge
+
+    n = min(8, jax.device_count())
+    ge.dryrun_multichip(n)
+
+
+def test_entry_traceable():
+    os.environ["GRAFT_ENTRY_TINY"] = "1"
+    try:
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        shape = jax.eval_shape(fn, *args)
+        assert shape.shape == (1, 4, 24, 16)
+    finally:
+        os.environ.pop("GRAFT_ENTRY_TINY", None)
