@@ -277,6 +277,106 @@ class StableDiffusionDepth:
             update_mask, jnp.asarray(guidance_scale, jnp.float32), key)
         return img, []
 
+    def img2img_single_step(self, text_embeddings, prev_latents, depth_mask,
+                            step: int, guidance_scale: float = 100.0,
+                            num_inference_steps: int = 50):
+        """One CFG denoise step at a given scheduler step (reference
+        img2img_single_step, stable_diffusion_depth.py:246-278)."""
+        lat_sz = prev_latents.shape[-1]
+        depth64 = jax.image.resize(depth_mask,
+                                   (1, 1, lat_sz, lat_sz), method="bicubic")
+        dmin, dmax = depth64.min(), depth64.max()
+        depth64 = 2.0 * (depth64 - dmin) / jnp.maximum(dmax - dmin, 1e-8) - 1
+        lat_in = jnp.concatenate([prev_latents] * 2)
+        lat_in = jnp.concatenate(
+            [lat_in, jnp.concatenate([depth64] * 2)], axis=1)
+        pred = self.unet.apply(self.params["unet"], lat_in,
+                               jnp.asarray([step]), text_embeddings)
+        u, c = jnp.split(pred, 2, axis=0)
+        noise_pred = u + guidance_scale * (c - u)
+        state = self.scheduler.init_state(prev_latents.shape)
+        _, prev = self.scheduler.step(state, noise_pred, step, prev_latents,
+                                      num_inference_steps)
+        return prev
+
+    def produce_latents(self, text_embeddings, depth_mask, key,
+                        height: int = 512, width: int = 512,
+                        num_inference_steps: int = 50,
+                        guidance_scale: float = 7.5):
+        """Pure txt2img latent generation (reference produce_latents,
+        stable_diffusion_depth.py:931-969)."""
+        vae_down = 2 ** (len(self.vae_config.block_out_channels) - 1)
+        h, w = height // vae_down, width // vae_down
+        pndm = self.scheduler
+        timesteps = pndm.timesteps(num_inference_steps)
+        latents = jax.random.normal(
+            key, (text_embeddings.shape[0] // 2,
+                  self.unet_config.in_channels - 1, h, w))
+        depth_pair = jnp.concatenate([depth_mask] * 2)
+        state = pndm.init_state(latents.shape)
+
+        def step_fn(carry, t):
+            latents, state = carry
+            lat_in = jnp.concatenate([latents] * 2)
+            lat_in = jnp.concatenate([lat_in, depth_pair], axis=1)
+            pred = self.unet.apply(self.params["unet"], lat_in, t,
+                                   text_embeddings)
+            u, c = jnp.split(pred, 2, axis=0)
+            noise_pred = u + guidance_scale * (c - u)
+            state, latents = pndm.step(state, noise_pred, t, latents,
+                                       num_inference_steps)
+            return (latents, state), None
+
+        (latents, _), _ = jax.lax.scan(step_fn, (latents, state), timesteps)
+        return latents
+
+    def prompt_to_img(self, prompts, depth_mask, height: int = 512,
+                      width: int = 512, num_inference_steps: int = 50,
+                      guidance_scale: float = 7.5, seed: int = 0):
+        """Text -> image via depth-conditioned txt2img (reference
+        prompt_to_img, stable_diffusion_depth.py:1001-1031). Returns uint8
+        numpy images."""
+        import numpy as np
+
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        text_embeds = self.get_text_embeds(prompts)
+        dmin, dmax = depth_mask.min(), depth_mask.max()
+        depth_mask = 2.0 * (depth_mask - dmin) / jnp.maximum(
+            dmax - dmin, 1e-8) - 1.0
+        vae_down = 2 ** (len(self.vae_config.block_out_channels) - 1)
+        depth_mask = jax.image.resize(
+            depth_mask, (depth_mask.shape[0], 1, height // vae_down,
+                         width // vae_down), method="bicubic")
+        latents = self.produce_latents(
+            text_embeds, depth_mask, jax.random.PRNGKey(seed),
+            height=height, width=width,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale)
+        imgs = self.decode_latents(latents)
+        return (np.asarray(imgs).transpose(0, 2, 3, 1) * 255).round().astype(
+            "uint8")
+
+    def load_concept(self, concept_path: str):
+        """Textual-inversion concept loading from a local learned_embeds file
+        (reference load_concept, stable_diffusion_depth.py:185-220; hub
+        download replaced by an explicit local path). Adds each trained token
+        to the tokenizer-id space by extending the embedding table."""
+        import numpy as np
+        import torch
+
+        learned = torch.load(concept_path, map_location="cpu")
+        emb_table = np.asarray(
+            self.params["text"]["params"]["token_embedding"]["embedding"])
+        for token, emb in learned.items():
+            emb_np = emb.float().numpy()[None]
+            emb_table = np.concatenate([emb_table, emb_np], axis=0)
+            # hash-tokenizer: reserve the new id for this literal token
+            new_id = emb_table.shape[0] - 1
+            setattr(self.tokenizer, "_concept_" + token, new_id)
+        self.params["text"]["params"]["token_embedding"]["embedding"] = (
+            jnp.asarray(emb_table))
+
     # -- SDS train step (non-Zero123++ path) ----------------------------------
 
     def sds_grad(self, params_vae_latents: jnp.ndarray, text_embeddings,

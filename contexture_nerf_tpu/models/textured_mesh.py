@@ -137,6 +137,119 @@ class TexturedMeshModel:
         emb = fourier_embed(uv, multires=self.multires)
         return (jnp.tanh(self.texture_mlp.apply(params, emb)) + 1.0) / 2.0
 
+    def get_texture_map_only_valid_areas(self, params) -> jnp.ndarray:
+        """Texture map with only UV-chart-covered texels painted (reference
+        get_texture_map_only_valid_areas, textured_mesh.py:303-347):
+        rasterize the UV charts into the atlas grid, query the MLP at the
+        interpolated UVs, unscale_image the raw outputs, zero elsewhere."""
+        from contexture_nerf_tpu.raster.rasterize import (
+            interpolate_attributes, rasterize_geometry)
+
+        res = self.texture_resolution
+        uv_attr = self.face_attributes  # (1, F, 3, 2)
+        fvi = uv_attr * 2.0 - 1.0
+        fvz = jnp.ones(fvi.shape[:-1])
+        face_idx, bary = rasterize_geometry(fvz, fvi, res, res,
+                                            face_chunk=64)
+        uvs = interpolate_attributes(face_idx, bary, uv_attr)  # (1,res,res,2)
+        emb = fourier_embed(uvs[0], multires=self.multires)
+        mlp_out = self.texture_mlp.apply(params, emb)  # (res,res,3)
+        colors = mlp_out / 0.5 * 0.8  # unscale_image (textured_mesh.py:337-339)
+        mask = (face_idx[0] >= 0)[..., None]
+        img = jnp.where(mask, colors, 0.0)
+        # align rows with the lattice orientation of get_texture_map
+        img = img[::-1]
+        return jnp.transpose(img, (2, 0, 1))[None]
+
+    # -- augmentations (reference textured_mesh.py:19-94,197-251; dormant in
+    # the reference pipeline: augmentations=False at trainer.py:265) ---------
+
+    def cotan_laplacian(self):
+        """Cotangent-weight mesh Laplacian (reference
+        build_cotan_laplacian_torch, textured_mesh.py:19-41). Host scipy."""
+        from scipy import sparse
+
+        pts = self.mesh.vertices.T  # (3, N)
+        tris = self.mesh.faces
+        a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
+        A = pts[:, a]
+        Bv = pts[:, b]
+        C = pts[:, c]
+        eab, ebc, eca = Bv - A, C - Bv, A - C
+        eab = eab / np.linalg.norm(eab, axis=0)
+        ebc = ebc / np.linalg.norm(ebc, axis=0)
+        eca = eca / np.linalg.norm(eca, axis=0)
+        alpha = np.arccos(-np.sum(eca * eab, axis=0))
+        beta = np.arccos(-np.sum(eab * ebc, axis=0))
+        gamma = np.arccos(-np.sum(ebc * eca, axis=0))
+        wab, wbc, wca = 1 / np.tan(gamma), 1 / np.tan(alpha), 1 / np.tan(beta)
+        rows = np.concatenate((a, b, a, b, b, c, b, c, c, a, c, a))
+        cols = np.concatenate((a, b, b, a, b, c, c, b, c, a, a, c))
+        vals = np.concatenate((wab, wab, -wab, -wab, wbc, wbc, -wbc, -wbc,
+                               wca, wca, -wca, -wca))
+        n = pts.shape[1]
+        return sparse.coo_matrix((vals, (rows, cols)),
+                                 shape=(n, n), dtype=float).tocsc()
+
+    def eigens(self, k: int = 20, e: float = 0.0):
+        """k smallest non-trivial Laplacian eigenpairs (reference
+        eigen_problem, textured_mesh.py:70-80)."""
+        import scipy.sparse as sparse
+        from scipy.sparse.linalg import eigsh
+
+        L = self.cotan_laplacian()
+        shift = 1e-4
+        vals, vecs = eigsh(L + shift * sparse.eye(L.shape[0]), k=k + 1,
+                           which="LM", sigma=e, tol=1e-3)
+        vals = vals + shift  # (reference adds the shift back, :75)
+        return vals[1:], vecs[:, 1:].T
+
+    @staticmethod
+    def normalize_vertices(vertices: np.ndarray, mesh_scale: float = 1.0,
+                           dy: float = 0.0) -> np.ndarray:
+        v = vertices - vertices.mean(axis=0)[None]
+        v = v / np.linalg.norm(v, axis=1).max() * mesh_scale
+        v[:, 1] += dy
+        return v
+
+    def spectral_augmentations(self, vertices: np.ndarray,
+                               rng: np.random.Generator) -> np.ndarray:
+        """Random low-frequency spectral deformation (reference
+        textured_mesh.py:219-232)."""
+        _, basis = self.eigens(20, 0.0)
+        rng_span = basis.max(axis=-1) - basis.min(axis=-1)
+        basis = basis / rng_span[:, None]
+        k = 2
+        interval = basis.shape[0] // k
+        chosen = [int(rng.integers(0, min(interval, basis.shape[0] - i)))
+                  + i for i in range(0, basis.shape[0], interval)]
+        coeffs = np.zeros(basis.shape[0])
+        coeffs[chosen] = (rng.random(len(chosen)) > 0.5) * 2.0 - 1.0
+        recon = coeffs @ basis
+        dirs = vertices / np.linalg.norm(vertices, axis=1)[:, None]
+        deformed = vertices + 0.25 * recon[:, None] * dirs
+        return self.normalize_vertices(deformed, self.mesh_scale, self.dy)
+
+    def axis_augmentations(self, vertices: np.ndarray,
+                           rng: np.random.Generator,
+                           stretch_factor: float = 1.6,
+                           squish_factor: float = 0.7) -> np.ndarray:
+        """Random axis stretch/squish (reference textured_mesh.py:234-243)."""
+        axes = rng.permutation(3)
+        v = vertices.copy()
+        v[:, axes[0]] *= stretch_factor
+        v[:, axes[1]] *= squish_factor
+        return self.normalize_vertices(v, self.mesh_scale, self.dy)
+
+    def augment_vertices(self, rng: np.random.Generator) -> np.ndarray:
+        """(reference textured_mesh.py:245-251)"""
+        v = self.mesh.vertices.copy()
+        if rng.random() < 0.5:
+            v = self.spectral_augmentations(v, rng)
+        if rng.random() < 0.5:
+            v = self.axis_augmentations(v, rng)
+        return v
+
     def apply_median_fill(self, texture: jnp.ndarray) -> jnp.ndarray:
         """Replace near-default-color texels with the median (mean) of painted
         texels (reference change_default_to_median, textured_mesh.py:362-369)."""

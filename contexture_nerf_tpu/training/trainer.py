@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import logging
 import math
+import os
 import time
 from pathlib import Path
 from typing import Any, Dict, List, Optional
@@ -102,6 +103,18 @@ class ConTEXTure:
         self.zero123_front_input = None
         self.view_weights = None
         self._median_eval = False
+
+        # optional wandb (the reference hard-wires it, trainer.py:665-668;
+        # here metrics.json is always written and wandb is opt-in)
+        self._wandb = None
+        if os.environ.get("WANDB_ENABLED"):
+            try:
+                import wandb
+
+                self._wandb = wandb.init(project="ConTEXTure-NeRF-TPU",
+                                         config=dict(exp=cfg.log.exp_name))
+            except Exception:
+                self._wandb = None
 
     # -- setup ------------------------------------------------------------
 
@@ -354,6 +367,8 @@ class ConTEXTure:
                 logger.info(f"iter {i}: sds_loss={loss_f:.4f} "
                             f"t={int(t_schedule_np[i])} "
                             f"grad_norm={float(grad_norm):.4g}")
+                if self._wandb is not None:
+                    self._wandb.log(metrics_log[-1])
             if (i % 10 == 0 and i < 1000 and self.cfg.log.log_images) or \
                     (i % 100 == 0 and self.cfg.log.log_images):
                 if i % 500 == 0:
@@ -371,6 +386,16 @@ class ConTEXTure:
         self._median_eval = True  # change_default_to_median (trainer.py:909)
         logger.info("Finished SDS Painting ^_^")
         self.full_eval()
+
+    def compute_view_consistency(self, rendered_views, render_cache):
+        """Cross-view color-consistency metric (reference trainer.py:429-531;
+        disabled in the reference loss, exposed here as a metric)."""
+        from contexture_nerf_tpu.ops.view_consistency import (
+            compute_view_consistency)
+
+        return compute_view_consistency(
+            rendered_views, self.mesh_model.faces,
+            render_cache.face_idx, render_cache.face_vertices_image)
 
     # -- front-view bootstrap ---------------------------------------------------
 

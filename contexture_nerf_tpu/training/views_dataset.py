@@ -16,6 +16,51 @@ import numpy as np
 from contexture_nerf_tpu.ops.image import get_view_direction
 
 
+def rand_poses(size: int, rng: np.random.Generator,
+               radius_range=(1.0, 1.5), phi_range=(0.0, 360.0),
+               angle_overhead=30.0, angle_front=60.0,
+               biased_angles=True) -> Dict:
+    """Random pose with the reference's top-biased theta sampling
+    (views_dataset.py:13-45). Returns one pose dict (size kept for parity)."""
+    angle_overhead_r = np.deg2rad(angle_overhead)
+    angle_front_r = np.deg2rad(angle_front)
+    radius = rng.uniform(radius_range[0], radius_range[1], size)
+    phi_r = np.deg2rad(rng.uniform(phi_range[0], phi_range[1], size))
+    if biased_angles:
+        top_flag = rng.random() > 0.3  # 70%: camera above the equator
+        x = (1 - rng.random(size)) if top_flag else (-rng.random(size))
+        thetas = np.arccos(x)
+    else:
+        thetas = np.deg2rad(rng.uniform(0.0, 180.0, size))
+    dirs = get_view_direction(thetas, phi_r, angle_overhead_r, angle_front_r)
+    return {"dir": int(dirs[0]), "theta": float(thetas[0]),
+            "phi": float(phi_r[0]), "radius": float(radius[0])}
+
+
+def rand_modal_poses(size: int, rng: np.random.Generator,
+                     radius_range=(1.4, 1.6), theta_range=(45.0, 90.0),
+                     phi_range=(0.0, 360.0), angle_overhead=30.0,
+                     theta_range_overhead=(0.0, 20.0),
+                     angle_front=60.0) -> Dict:
+    """Random pose snapped near the four cardinal azimuths with a 15%
+    overhead mode (reference views_dataset.py:48-72)."""
+    angle_overhead_r = np.deg2rad(angle_overhead)
+    angle_front_r = np.deg2rad(angle_front)
+    radius = rng.uniform(radius_range[0], radius_range[1], size)
+    if rng.random() > 0.85:
+        phis = np.deg2rad(rng.uniform(phi_range[0], phi_range[1], size))
+        thetas = np.deg2rad(rng.uniform(theta_range_overhead[0],
+                                        theta_range_overhead[1], size))
+    else:
+        mods = np.deg2rad([0, 90, 180, 270])
+        perturb = np.deg2rad(15) * rng.random(size)
+        phis = perturb + mods[rng.integers(0, 4, size)]
+        thetas = np.deg2rad(rng.uniform(theta_range[0], theta_range[1], size))
+    dirs = get_view_direction(thetas, phis, angle_overhead_r, angle_front_r)
+    return {"dir": int(dirs[0]), "theta": float(thetas[0]),
+            "phi": float(phis[0]), "radius": float(radius[0])}
+
+
 def circle_pose(radius=1.25, theta=60.0, phi=0.0, angle_overhead=30.0,
                 angle_front=60.0) -> Dict:
     """(reference circle_poses, views_dataset.py:75-85)"""
@@ -104,11 +149,15 @@ class MultiviewDataset:
 
 class ViewsDataset:
     """Uniform turntable for eval (reference views_dataset.py:221-260);
-    radius is cfg.radius * 1.2, theta = base_theta."""
+    radius is cfg.radius * 1.2, theta = base_theta. random_views=True samples
+    rand_poses instead (reference :233-234)."""
 
-    def __init__(self, cfg, size: int = 100):
+    def __init__(self, cfg, size: int = 100, random_views: bool = False,
+                 seed: int = 0):
         self.cfg = cfg
         self.size = size
+        self.random_views = random_views
+        self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
         return self.size
@@ -116,11 +165,14 @@ class ViewsDataset:
     def poses(self) -> List[Dict]:
         out = []
         for i in range(self.size):
-            phi = (i / self.size) * 360
-            d = circle_pose(radius=self.cfg.radius * 1.2,
-                            theta=self.cfg.base_theta, phi=phi,
-                            angle_overhead=self.cfg.overhead_range,
-                            angle_front=self.cfg.front_range)
+            if self.random_views:
+                d = rand_poses(1, self._rng)
+            else:
+                phi = (i / self.size) * 360
+                d = circle_pose(radius=self.cfg.radius * 1.2,
+                                theta=self.cfg.base_theta, phi=phi,
+                                angle_overhead=self.cfg.overhead_range,
+                                angle_front=self.cfg.front_range)
             d["base_theta"] = math.radians(self.cfg.base_theta)
             out.append(d)
         return out

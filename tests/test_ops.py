@@ -117,3 +117,24 @@ def test_view_weights_winner_takes_pixel():
     assert w[0, 0, 2:].all()       # face 1 only visible in view 0
     assert not w[1, 0, :2].any()   # view 1 loses face 0
     assert w[1, 0, 2:].all()       # background stays True
+
+
+def test_view_consistency_identical_views():
+    """Two identical views of one face: consistency should be ~1."""
+    from contexture_nerf_tpu.ops.view_consistency import (
+        compute_view_consistency)
+
+    V, H, W = 2, 8, 8
+    faces = jnp.array([[0, 1, 2]])
+    face_idx = np.full((V, H, W), -1, np.int32)
+    face_idx[:, 2:6, 2:6] = 0
+    fvi = jnp.tile(jnp.array([[[[-0.5, -0.5], [0.5, -0.5], [0.0, 0.5]]]]),
+                   (V, 1, 1, 1))
+    imgs = jnp.ones((V, 3, H, W)) * 0.5
+    sim = compute_view_consistency(imgs, faces, jnp.asarray(face_idx), fvi)
+    assert float(sim) == pytest.approx(1.0, abs=1e-5)
+
+    # different colors in the two views -> similarity drops
+    imgs2 = imgs.at[1].set(0.9)
+    sim2 = compute_view_consistency(imgs2, faces, jnp.asarray(face_idx), fvi)
+    assert float(sim2) < float(sim)
