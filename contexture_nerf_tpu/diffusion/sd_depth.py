@@ -95,6 +95,16 @@ class StableDiffusionDepth:
 
     # -- weights -------------------------------------------------------------
 
+    def _cast(self, tree):
+        """Parameter precision policy: big stacks live in the compute dtype
+        (bf16 on TPU halves HBM: both SD2 UNets + Zero123++ would not fit in
+        16 GB at f32). Norm math still accumulates f32 (see layers.py)."""
+        if self.dtype == jnp.float32:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(self.dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+
     def _init_or_load(self, wp: SDWeightPaths, seed: int) -> Dict[str, Any]:
         from contexture_nerf_tpu.diffusion import weights as W
 
@@ -105,33 +115,34 @@ class StableDiffusionDepth:
         params: Dict[str, Any] = {}
 
         if wp.unet:
-            params["unet"] = W.convert_unet(W.load_state_dict(wp.unet),
-                                            self.unet_config)
+            params["unet"] = self._cast(W.convert_unet(W.load_state_dict(wp.unet),
+                                            self.unet_config))
         else:
-            params["unet"] = jax.jit(self.unet.init)(
+            params["unet"] = self._cast(jax.jit(self.unet.init)(
                 ks[0], jnp.zeros((1, self.unet_config.in_channels, lat_res,
                                   lat_res)),
-                jnp.array([0]), jnp.zeros((1, 77, ctx_dim)))
+                jnp.array([0]), jnp.zeros((1, 77, ctx_dim))))
         if self.use_inpaint:
             if wp.inpaint_unet:
-                params["inpaint_unet"] = W.convert_unet(
-                    W.load_state_dict(wp.inpaint_unet), self.inpaint_config)
+                params["inpaint_unet"] = self._cast(W.convert_unet(
+                    W.load_state_dict(wp.inpaint_unet), self.inpaint_config))
             else:
-                params["inpaint_unet"] = jax.jit(self.inpaint_unet.init)(
-                    ks[1], jnp.zeros((1, 9, lat_res, lat_res)),
-                    jnp.array([0]), jnp.zeros((1, 77, ctx_dim)))
+                params["inpaint_unet"] = self._cast(
+                    jax.jit(self.inpaint_unet.init)(
+                        ks[1], jnp.zeros((1, 9, lat_res, lat_res)),
+                        jnp.array([0]), jnp.zeros((1, 77, ctx_dim))))
         if wp.vae:
-            params["vae"] = W.convert_vae(W.load_state_dict(wp.vae),
-                                          self.vae_config)
+            params["vae"] = self._cast(W.convert_vae(W.load_state_dict(wp.vae),
+                                          self.vae_config))
         else:
-            params["vae"] = jax.jit(self.vae.init)(
-                ks[2], jnp.zeros((1, 3, 8 * lat_res, 8 * lat_res)), ks[2])
+            params["vae"] = self._cast(jax.jit(self.vae.init)(
+                ks[2], jnp.zeros((1, 3, 8 * lat_res, 8 * lat_res)), ks[2]))
         if wp.text_encoder:
-            params["text"] = W.convert_clip_text(
-                W.load_state_dict(wp.text_encoder), self.text_config)
+            params["text"] = self._cast(W.convert_clip_text(
+                W.load_state_dict(wp.text_encoder), self.text_config))
         else:
-            params["text"] = jax.jit(self.text_encoder.init)(
-                ks[3], jnp.zeros((1, 77), jnp.int32))
+            params["text"] = self._cast(jax.jit(self.text_encoder.init)(
+                ks[3], jnp.zeros((1, 77), jnp.int32)))
         return params
 
     # -- text ----------------------------------------------------------------

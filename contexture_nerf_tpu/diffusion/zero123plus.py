@@ -136,6 +136,14 @@ class Zero123PlusPipeline:
 
     # -- weights ---------------------------------------------------------------
 
+    def _cast(self, tree):
+        """bf16 parameter policy (see sd_depth.StableDiffusionDepth._cast)."""
+        if self.dtype == jnp.float32:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(self.dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+
     def _init_or_load(self, wp: Zero123PlusWeightPaths, seed: int):
         from contexture_nerf_tpu.diffusion import weights as W
 
@@ -146,37 +154,37 @@ class Zero123PlusPipeline:
         lat = jnp.zeros((1, 4, 24, 16))
         emb = jnp.zeros((1, 77, ctx))
         if wp.unet:
-            params["unet"] = W.convert_unet(W.load_state_dict(wp.unet),
-                                            self.unet_config)
+            params["unet"] = self._cast(W.convert_unet(W.load_state_dict(wp.unet),
+                                            self.unet_config))
         else:
-            params["unet"] = jax.jit(self.unet.init)(ks[0], lat,
-                                                     jnp.array([0]), emb)
+            params["unet"] = self._cast(jax.jit(self.unet.init)(ks[0], lat,
+                                                     jnp.array([0]), emb))
         if wp.controlnet:
-            params["controlnet"] = W.convert_controlnet(
-                W.load_state_dict(wp.controlnet), self.unet_config)
+            params["controlnet"] = self._cast(W.convert_controlnet(
+                W.load_state_dict(wp.controlnet), self.unet_config))
         else:
-            params["controlnet"] = jax.jit(self.controlnet.init)(
+            params["controlnet"] = self._cast(jax.jit(self.controlnet.init)(
                 ks[1], lat, jnp.array([0]), emb,
-                jnp.zeros((1, 3, 24 * 8, 16 * 8)))
+                jnp.zeros((1, 3, 24 * 8, 16 * 8))))
         if wp.vae:
-            params["vae"] = W.convert_vae(W.load_state_dict(wp.vae),
-                                          self.vae_config)
+            params["vae"] = self._cast(W.convert_vae(W.load_state_dict(wp.vae),
+                                          self.vae_config))
         else:
-            params["vae"] = jax.jit(self.vae.init)(
-                ks[2], jnp.zeros((1, 3, 64, 64)), ks[2])
+            params["vae"] = self._cast(jax.jit(self.vae.init)(
+                ks[2], jnp.zeros((1, 3, 64, 64)), ks[2]))
         if wp.text_encoder:
-            params["text"] = W.convert_clip_text(
-                W.load_state_dict(wp.text_encoder), self.text_config)
+            params["text"] = self._cast(W.convert_clip_text(
+                W.load_state_dict(wp.text_encoder), self.text_config))
         else:
-            params["text"] = jax.jit(self.text_encoder.init)(
-                ks[3], jnp.zeros((1, 77), jnp.int32))
+            params["text"] = self._cast(jax.jit(self.text_encoder.init)(
+                ks[3], jnp.zeros((1, 77), jnp.int32)))
         if wp.vision_encoder:
-            params["vision"] = W.convert_clip_vision(
-                W.load_state_dict(wp.vision_encoder), self.vision_config)
+            params["vision"] = self._cast(W.convert_clip_vision(
+                W.load_state_dict(wp.vision_encoder), self.vision_config))
         else:
             sz = self.vision_config.image_size
-            params["vision"] = jax.jit(self.vision_encoder.init)(
-                ks[4], jnp.zeros((1, 3, sz, sz)))
+            params["vision"] = self._cast(jax.jit(self.vision_encoder.init)(
+                ks[4], jnp.zeros((1, 3, sz, sz))))
         return params
 
     # -- conditioning -----------------------------------------------------------

@@ -143,17 +143,22 @@ class ConTEXTure:
         return model
 
     def _init_diffusion(self) -> StableDiffusionDepth:
+        # full-size stacks run bf16 (MXU-native; both UNet pairs at f32 would
+        # exceed a v5e chip's 16 GB HBM); tiny CPU test configs stay f32
+        dtype = jnp.float32 if self.tiny else jnp.bfloat16
         return StableDiffusionDepth(
             min_timestep=self.cfg.optim.min_timestep,
             max_timestep=self.cfg.optim.max_timestep,
             no_noise=self.cfg.optim.no_noise,
             use_inpaint=True,
             tiny=self.tiny,
+            dtype=dtype,
             seed=self.cfg.optim.seed)
 
     def _init_zero123plus(self) -> Zero123PlusPipeline:
+        dtype = jnp.float32 if self.tiny else jnp.bfloat16
         return Zero123PlusPipeline(conditioning_scale=2.0, tiny=self.tiny,
-                                   seed=self.cfg.optim.seed)
+                                   dtype=dtype, seed=self.cfg.optim.seed)
 
     def _calc_text_embeddings(self):
         ref_text = self.cfg.guide.text
