@@ -189,6 +189,41 @@ class ConTEXTure:
                                       size=self.cfg.log.full_eval_size),
         }
 
+    # -- jitted render helpers (eager 1200^2 renders materialize every MLP
+    # activation in HBM and can OOM; jit keeps intermediates fused/freed) ----
+
+    def _jit_cache_get(self, sig, builder):
+        if not hasattr(self, "_render_jit_cache"):
+            self._render_jit_cache = {}
+        if sig not in self._render_jit_cache:
+            self._render_jit_cache[sig] = builder()
+        return self._render_jit_cache[sig]
+
+    def _render_pose_jit(self, dims=None):
+        model = self.mesh_model
+        sig = ("pose", dims)
+
+        def build():
+            def f(params, theta, phi, radius, background):
+                return model.render(params, theta=theta, phi=phi,
+                                    radius=radius, background=background,
+                                    dims=dims)
+            return jax.jit(f)
+
+        return self._jit_cache_get(sig, build)
+
+    def _render_cache_jit(self):
+        model = self.mesh_model
+        sig = ("cached",)
+
+        def build():
+            def f(params, cache, background):
+                return model.render(params, render_cache=cache,
+                                    background=background)
+            return jax.jit(f)
+
+        return self._jit_cache_get(sig, build)
+
     # -- view weights -------------------------------------------------------
 
     def define_view_weights(self):
@@ -226,9 +261,8 @@ class ConTEXTure:
 
         # 2. all-view geometry + depth
         cache = self._geometry_cache
-        outputs = self.mesh_model.render(
-            self.texture_params, render_cache=cache,
-            background=background_gray)
+        outputs = self._render_cache_jit()(
+            self.texture_params, cache, background_gray)
         object_masks = outputs["mask"]
         depth_maps = 1.0 - outputs["depth"]
         B = int(object_masks.shape[0])
@@ -421,9 +455,10 @@ class ConTEXTure:
             sz = self.cfg.render.train_grid_size
             background = resize_bilinear(self.back_im[None], sz, sz)
 
-        outputs = self.mesh_model.render(
-            self.texture_params, theta=theta, phi=phi, radius=radius,
-            background=background)
+        outputs = self._render_pose_jit()(
+            self.texture_params, jnp.asarray([theta], jnp.float32),
+            jnp.asarray([phi], jnp.float32),
+            jnp.asarray([radius], jnp.float32), background)
         rgb_render = outputs["image"]
         depth_render = outputs["depth"]
         object_mask = outputs["mask"]
@@ -459,29 +494,48 @@ class ConTEXTure:
 
     # -- eval ---------------------------------------------------------------------
 
+    def _build_eval_render(self, dim: int, use_median: bool):
+        """One jitted eval-render graph per (dim, median) signature —
+        eager per-op dispatch is expensive through the device tunnel."""
+        model = self.mesh_model
+
+        def f(params, theta, phi, radius):
+            outputs = model.render(params, theta=theta, phi=phi,
+                                   radius=radius, dims=(dim, dim),
+                                   background="white",
+                                   use_median=use_median)
+            z_normals = jnp.clip(outputs["normals"][:, -1:], 0, 1)
+            rgb_render = outputs["image"]
+            default = jnp.asarray(model.default_color).reshape(1, 3, 1, 1)
+            diff = jnp.abs(rgb_render - default).sum(axis=1)
+            uncolored = (diff < 0.1).astype(rgb_render.dtype)[:, None]
+            shade = color_with_shade([0.85, 0.85, 0.85], z_normals,
+                                     light_coef=0.3)
+            rgb_render = rgb_render * (1 - uncolored) + shade * uncolored
+            rgb = jnp.clip(jnp.transpose(rgb_render, (0, 2, 3, 1)), 0, 1)
+            texture = jnp.clip(
+                jnp.transpose(outputs["texture_map"], (0, 2, 3, 1)), 0, 1)
+            depth = jnp.transpose(outputs["depth"], (0, 2, 3, 1))
+            return rgb, texture, depth, z_normals
+
+        return jax.jit(f)
+
     def eval_render(self, data):
         """(reference trainer.py:1119-1157)"""
-        theta = data["theta"]
         phi = data["phi"] - np.deg2rad(self.cfg.render.front_offset)
         phi = float(phi + 2 * np.pi if phi < 0 else phi)
         dim = self.cfg.render.eval_grid_size
-        outputs = self.mesh_model.render(
-            self.texture_params, theta=theta, phi=phi, radius=data["radius"],
-            dims=(dim, dim), background="white",
-            use_median=self._median_eval)
-        z_normals = jnp.clip(outputs["normals"][:, -1:], 0, 1)
-        rgb_render = outputs["image"]
-        default = jnp.asarray(self.mesh_model.default_color).reshape(1, 3, 1, 1)
-        diff = jnp.abs(rgb_render - default).sum(axis=1)
-        uncolored = (diff < 0.1).astype(rgb_render.dtype)[:, None]
-        shade = color_with_shade([0.85, 0.85, 0.85], z_normals,
-                                 light_coef=0.3)
-        rgb_render = rgb_render * (1 - uncolored) + shade * uncolored
-        rgb = jnp.clip(jnp.transpose(rgb_render, (0, 2, 3, 1)), 0, 1)
-        texture = jnp.clip(
-            jnp.transpose(outputs["texture_map"], (0, 2, 3, 1)), 0, 1)
-        depth = jnp.transpose(outputs["depth"], (0, 2, 3, 1))
-        return rgb, texture, depth, z_normals
+        sig = ("eval_render", dim, self._median_eval)
+        if not hasattr(self, "_eval_jit"):
+            self._eval_jit = {}
+        if sig not in self._eval_jit:
+            self._eval_jit[sig] = self._build_eval_render(
+                dim, self._median_eval)
+        return self._eval_jit[sig](
+            self.texture_params,
+            jnp.asarray([data["theta"]], jnp.float32),
+            jnp.asarray([phi], jnp.float32),
+            jnp.asarray([data["radius"]], jnp.float32))
 
     def evaluate(self, dataloader, save_path: Path,
                  save_as_video: bool = False):
