@@ -92,14 +92,36 @@ def uv_lattice(res: int) -> jnp.ndarray:
     return jnp.stack([uu, vv], axis=-1).reshape(-1, 2)
 
 
-def texture_from_mlp(mlp: NeRF2D, params, res: int,
-                     multires: int = 10) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def texture_from_mlp(mlp: NeRF2D, params, res: int, multires: int = 10,
+                     use_fused: bool = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Query the MLP on the UV lattice -> ((1,3,res,res) texture in [0,1],
     raw mlp_output (res*res, 3)). Reference textured_mesh.py:266-301:
-    colors = (tanh(mlp) + 1) / 2."""
+    colors = (tanh(mlp) + 1) / 2.
+
+    TPU path: the fused Pallas embed+MLP kernel (ops/mlp_kernel.py) keeps all
+    per-point activations in VMEM — unfused, each of ~9 (res^2, 256) f32
+    layer activations is a 1 GB HBM tensor at res=1024. Elsewhere: chunked
+    lax.map with the same peak-memory benefit (compiler-scheduled)."""
     uv = uv_lattice(res)
-    emb = fourier_embed(uv, multires=multires)
-    mlp_output = mlp.apply(params, emb)
+    if use_fused is None:
+        use_fused = (jax.default_backend() == "tpu"
+                     and mlp.D == 8 and mlp.W == 256 and tuple(mlp.skips) == (4,))
+    if use_fused:
+        from contexture_nerf_tpu.ops.mlp_kernel import fused_nerf2d
+
+        mlp_output = fused_nerf2d(params, uv, multires)
+    else:
+        chunk = 65536
+        n = uv.shape[0]
+        if n % chunk == 0 and n > chunk:
+            uv_c = uv.reshape(n // chunk, chunk, 2)
+            # checkpoint: backward recomputes per chunk, so residuals never
+            # exceed one chunk's activations
+            f = jax.checkpoint(
+                lambda u: mlp.apply(params, fourier_embed(u, multires)))
+            mlp_output = jax.lax.map(f, uv_c).reshape(n, -1)
+        else:
+            mlp_output = mlp.apply(params, fourier_embed(uv, multires))
     colors = (jnp.tanh(mlp_output) + 1.0) / 2.0
     tex = colors.reshape(1, res, res, 3).transpose(0, 3, 1, 2)
     return tex, mlp_output
