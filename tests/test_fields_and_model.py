@@ -148,3 +148,29 @@ def test_mesh_normalization(tiny_mesh_obj):
     m = Mesh.load(tiny_mesh_obj).normalize_mesh(target_scale=0.6, dy=0.25)
     v = m.vertices - np.array([0, 0.25, 0])
     assert np.linalg.norm(v, axis=1).max() == pytest.approx(0.6, rel=1e-5)
+
+
+def test_native_objio_matches_python_parser(tiny_mesh_obj):
+    """C++ fast path == numpy fallback on the same OBJ."""
+    pytest.importorskip("ctypes")
+    from contexture_nerf_tpu.native.objio import load_obj as native_load
+
+    r = native_load(tiny_mesh_obj)
+    if r is None:
+        pytest.skip("native toolchain unavailable")
+    v_n, f_n, vt_n, ft_n = r
+    # parse with the pure-python path by disabling the native fast path
+    from contexture_nerf_tpu.native import objio as native_mod
+    import contexture_nerf_tpu.models.mesh as mesh_mod
+
+    orig = native_mod.load_obj
+    native_mod.load_obj = lambda path: None
+    try:
+        m = mesh_mod.Mesh.load(tiny_mesh_obj)
+    finally:
+        native_mod.load_obj = orig
+    np.testing.assert_allclose(v_n, m.vertices, atol=1e-6)
+    np.testing.assert_array_equal(f_n, m.faces)
+    if m.vt is not None:
+        np.testing.assert_allclose(vt_n, m.vt, atol=1e-6)
+        np.testing.assert_array_equal(ft_n, m.ft)

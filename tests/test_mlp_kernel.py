@@ -1,0 +1,41 @@
+"""Fused embed+MLP Pallas kernel vs the flax NeRF2D reference (interpret)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contexture_nerf_tpu.models.fields import (NeRF2D, embedder_out_dim,
+                                               fourier_embed)
+from contexture_nerf_tpu.ops.mlp_kernel import fused_nerf2d
+
+
+def test_fused_forward_and_grad_match_reference():
+    mlp = NeRF2D(input_ch=embedder_out_dim(10))
+    params = jax.jit(mlp.init)(jax.random.PRNGKey(0), jnp.zeros((1, 42)))
+    uv = jax.random.uniform(jax.random.PRNGKey(1), (512, 2))
+
+    ref = mlp.apply(params, fourier_embed(uv, 10))
+    out = fused_nerf2d(params, uv, 10, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def loss_ref(p):
+        return jnp.sum(jnp.tanh(mlp.apply(p, fourier_embed(uv, 10))) ** 2)
+
+    def loss_fused(p):
+        return jnp.sum(jnp.tanh(fused_nerf2d(p, uv, 10, True)) ** 2)
+
+    g_ref = jax.grad(loss_ref)(params)
+    g_f = jax.grad(loss_fused)(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_f)):
+        scale = max(float(jnp.abs(a).max()), 1e-3)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-4 * scale + 1e-5)
+
+
+def test_fused_handles_nonmultiple_block():
+    mlp = NeRF2D(input_ch=embedder_out_dim(10))
+    params = jax.jit(mlp.init)(jax.random.PRNGKey(0), jnp.zeros((1, 42)))
+    uv = jax.random.uniform(jax.random.PRNGKey(2), (300, 2))  # pads to 512
+    ref = mlp.apply(params, fourier_embed(uv, 10))
+    out = fused_nerf2d(params, uv, 10, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
