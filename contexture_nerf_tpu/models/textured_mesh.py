@@ -331,10 +331,10 @@ class TexturedMeshModel:
         (mask (B,1,H,W), depth (B,1,H,W), normals_image (B,3,H,W),
         face_normals (B,3,F), face_idx (B,1,H,W))."""
         cache = self.render_geometry(theta, phi, radius, dims=dims)
-        safe_idx = jnp.maximum(cache.face_idx, 0)
-        normals_image = jnp.take_along_axis(
-            cache.face_normals[:, :, None, None],
-            safe_idx[:, None, :, :, None].astype(jnp.int32), axis=1)[:, 0]
+        B2, H2, W2 = cache.face_idx.shape
+        safe_idx = jnp.maximum(cache.face_idx, 0).reshape(B2, -1)
+        normals_image = jax.vmap(lambda n, i: n[i])(
+            cache.face_normals, safe_idx).reshape(B2, H2, W2, 3)
         normals_image = normals_image * jnp.transpose(cache.mask, (0, 2, 3, 1))
         return (cache.mask, cache.depth_map,
                 jnp.transpose(normals_image, (0, 3, 1, 2)),

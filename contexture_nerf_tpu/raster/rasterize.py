@@ -157,14 +157,14 @@ def interpolate_attributes(face_idx: jnp.ndarray, bary: jnp.ndarray,
     face_idx: (B,H,W) int32 (-1 background), bary: (B,H,W,3),
     face_features: (B,F,3,C). Returns (B,H,W,C); background pixels are 0
     (kaolin rasterize fills 0 outside coverage)."""
-    safe_idx = jnp.maximum(face_idx, 0)
-    # gather per-pixel per-vertex features: (B,H,W,3,C)
-    gathered = jnp.take_along_axis(
-        face_features[:, :, None, None],  # (B,F,1,1,3,C)
-        safe_idx[:, None, :, :, None, None].astype(jnp.int32),
-        axis=1,
-    )[:, 0]  # -> (B,H,W,3,C)
-    out = jnp.sum(gathered * bary[..., None], axis=-2)
+    B, H, W = face_idx.shape
+    safe_idx = jnp.maximum(face_idx, 0).reshape(B, -1)
+    # per-batch gather (a plain XLA gather — take_along_axis with broadcast
+    # operands materializes huge intermediates in eager mode)
+    gathered = jax.vmap(lambda feats, idx: feats[idx])(
+        face_features, safe_idx)  # (B, H*W, 3, C)
+    out = jnp.sum(gathered * bary.reshape(B, -1, 3)[..., None], axis=-2)
+    out = out.reshape(B, H, W, -1)
     mask = (face_idx >= 0)[..., None]
     return jnp.where(mask, out, 0.0)
 

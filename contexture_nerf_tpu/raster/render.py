@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -72,8 +73,6 @@ class Renderer:
     # -- geometry pass (runs once per camera set; cached) -------------------
 
     def _rasterize(self, fvz, fvi, h, w):
-        import jax
-
         backend = self.backend
         if backend is None:
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -146,10 +145,10 @@ class Renderer:
             image = image + noise * (1 - mask_hw1)
 
         # per-pixel face normals via gather (reference render.py:147-157)
-        safe_idx = jnp.maximum(cache.face_idx, 0)
-        normals_image = jnp.take_along_axis(
-            cache.face_normals[:, :, None, None],
-            safe_idx[:, None, :, :, None].astype(jnp.int32), axis=1)[:, 0]
+        B2, H2, W2 = cache.face_idx.shape
+        safe_idx = jnp.maximum(cache.face_idx, 0).reshape(B2, -1)
+        normals_image = jax.vmap(lambda n, i: n[i])(
+            cache.face_normals, safe_idx).reshape(B2, H2, W2, 3)
         normals_image = normals_image * mask_hw1
 
         return (jnp.transpose(image, (0, 3, 1, 2)),
