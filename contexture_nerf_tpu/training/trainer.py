@@ -319,7 +319,7 @@ class ConTEXTure:
         lat_tile = self.tile_px // vae_down
         tile_px = self.tile_px
 
-        def render_grid_latent(params, cache6, key):
+        def render_grid_latent(params, cache6, vae_params, key):
             texture, mlp_out = mesh_model.get_texture_map(params)
             image, mask, _, _ = mesh_model.renderer.render_texture_with_cache(
                 cache6, texture, background_type="none")
@@ -338,20 +338,22 @@ class ConTEXTure:
             return scale_latents(z), grid, mlp_out
 
         def sds_step(params, opt_state, t, key, cache6, depth_grid,
-                     cond_lat_pair, encoder_hidden_states):
+                     cond_lat_pair, encoder_hidden_states, zp_params,
+                     vae_params):
             k_enc, k_noise, k_teach, k_tile = jax.random.split(key, 4)
             tile_idx = jax.random.randint(k_tile, (), 0, 6)
 
             def loss_fn(p):
-                z, grid, mlp_out = render_grid_latent(p, cache6, k_enc)
+                z, grid, mlp_out = render_grid_latent(p, cache6, vae_params,
+                                                      k_enc)
                 z_sg = jax.lax.stop_gradient(z)
                 noise = jax.random.normal(k_noise, z.shape)
                 latents_noisy = sch.add_noise(acp, z_sg, noise, t)
                 v_pred = jax.lax.stop_gradient(
-                    zero123plus.teacher_v_pred(
-                        latents_noisy, t, cond_lat_pair,
+                    zero123plus._cfg_v_pred(
+                        zp_params, latents_noisy, t, cond_lat_pair,
                         encoder_hidden_states, depth_grid, guidance_scale,
-                        k_teach))
+                        k_teach, scale_input=lambda x: x))
                 v = sch.velocity_target(acp, z_sg, noise, t)
                 w = (1 - acp[t]).reshape(-1, 1, 1, 1)
                 sqrt_acp = jnp.sqrt(acp[t]).reshape(-1, 1, 1, 1)
@@ -389,7 +391,8 @@ class ConTEXTure:
             t = jnp.asarray([int(t_schedule_np[i])], jnp.int32)
             params, opt_state, loss, grad_norm, fisher, grid = sds_step_jit(
                 params, opt_state, t, sub, cache6, depth_grid,
-                cond_lat_pair, encoder_hidden_states)
+                cond_lat_pair, encoder_hidden_states, zero123plus.params,
+                vae_params)
             if i % 50 == 0 or i == iterations - 1:
                 loss_f = float(loss)
                 fisher_f = float(fisher)
