@@ -333,8 +333,9 @@ class TexturedMeshModel:
         cache = self.render_geometry(theta, phi, radius, dims=dims)
         B2, H2, W2 = cache.face_idx.shape
         safe_idx = jnp.maximum(cache.face_idx, 0).reshape(B2, -1)
-        normals_image = jax.vmap(lambda n, i: n[i])(
-            cache.face_normals, safe_idx).reshape(B2, H2, W2, 3)
+        normals_image = jnp.stack(
+            [jnp.take_along_axis(cache.face_normals[..., c], safe_idx, axis=1)
+             for c in range(3)], axis=-1).reshape(B2, H2, W2, 3)
         normals_image = normals_image * jnp.transpose(cache.mask, (0, 2, 3, 1))
         return (cache.mask, cache.depth_map,
                 jnp.transpose(normals_image, (0, 3, 1, 2)),

@@ -158,13 +158,21 @@ def interpolate_attributes(face_idx: jnp.ndarray, bary: jnp.ndarray,
     face_features: (B,F,3,C). Returns (B,H,W,C); background pixels are 0
     (kaolin rasterize fills 0 outside coverage)."""
     B, H, W = face_idx.shape
+    C = face_features.shape[-1]
     safe_idx = jnp.maximum(face_idx, 0).reshape(B, -1)
-    # per-batch gather (a plain XLA gather — take_along_axis with broadcast
-    # operands materializes huge intermediates in eager mode)
-    gathered = jax.vmap(lambda feats, idx: feats[idx])(
-        face_features, safe_idx)  # (B, H*W, 3, C)
-    out = jnp.sum(gathered * bary.reshape(B, -1, 3)[..., None], axis=-2)
-    out = out.reshape(B, H, W, -1)
+    bary_flat = bary.reshape(B, -1, 3)
+    # One SCALAR-slice gather per (vertex, channel). XLA-TPU pads each
+    # gathered slice to a full (8,128) register tile, so a single gather with
+    # (3,C) slices materializes ~170x the payload (~10 GB at 7x1200^2);
+    # scalar slices pack densely (tested: 0.04 GB per gather).
+    out = jnp.zeros((B, H * W, C), face_features.dtype)
+    for k in range(3):
+        w_k = bary_flat[:, :, k]
+        for c in range(C):
+            vals = jnp.take_along_axis(face_features[:, :, k, c], safe_idx,
+                                       axis=1)  # (B, H*W)
+            out = out.at[:, :, c].add(w_k * vals)
+    out = out.reshape(B, H, W, C)
     mask = (face_idx >= 0)[..., None]
     return jnp.where(mask, out, 0.0)
 

@@ -144,11 +144,13 @@ class Renderer:
                      else jnp.zeros((1, 1, 1, 3), image.dtype))
             image = image + noise * (1 - mask_hw1)
 
-        # per-pixel face normals via gather (reference render.py:147-157)
+        # per-pixel face normals via scalar-slice gathers (see
+        # rasterize.interpolate_attributes for why not a (3,)-slice gather)
         B2, H2, W2 = cache.face_idx.shape
         safe_idx = jnp.maximum(cache.face_idx, 0).reshape(B2, -1)
-        normals_image = jax.vmap(lambda n, i: n[i])(
-            cache.face_normals, safe_idx).reshape(B2, H2, W2, 3)
+        normals_image = jnp.stack(
+            [jnp.take_along_axis(cache.face_normals[..., c], safe_idx, axis=1)
+             for c in range(3)], axis=-1).reshape(B2, H2, W2, 3)
         normals_image = normals_image * mask_hw1
 
         return (jnp.transpose(image, (0, 3, 1, 2)),

@@ -234,11 +234,19 @@ class ConTEXTure:
         self.phis = [(p["phi"] - front_offset) % (2 * np.pi) for p in poses]
         self.radii = [p["radius"] for p in poses]
 
-        cache = self.mesh_model.render_geometry(
-            theta=self.thetas, phi=self.phis, radius=self.radii)
-        face_normals_z = cache.face_normals[..., 2]  # (B, F)
-        weight_masks = compute_view_weights(cache.face_idx[:, None],
-                                            face_normals_z)
+        model = self.mesh_model
+
+        @jax.jit
+        def geometry_and_weights(theta, phi, radius):
+            cache = model.render_geometry(theta=theta, phi=phi, radius=radius)
+            weights = compute_view_weights(cache.face_idx[:, None],
+                                           cache.face_normals[..., 2])
+            return cache, weights
+
+        cache, weight_masks = geometry_and_weights(
+            jnp.asarray(self.thetas, jnp.float32),
+            jnp.asarray(self.phis, jnp.float32),
+            jnp.asarray(self.radii, jnp.float32))
         self.view_weights = weight_masks
         self._geometry_cache = cache
         logger.info(f"Successfully initialized {self.cfg.log.exp_name}")
