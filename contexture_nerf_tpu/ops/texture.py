@@ -27,14 +27,18 @@ def sample_texture(uv: jnp.ndarray, texture: jnp.ndarray,
     px = u * TW - 0.5
     py = (1.0 - v) * TH - 0.5
 
-    tex = jnp.transpose(texture, (0, 2, 3, 1))  # (B,TH,TW,C)
+    tex_flat = texture.reshape(B, C, TH * TW)  # (B,C,TH*TW)
 
     def gather(iy, ix):
         iyc = jnp.clip(iy, 0, TH - 1)
         ixc = jnp.clip(ix, 0, TW - 1)
-        flat = tex.reshape(B, TH * TW, C)
         lin = (iyc * TW + ixc).reshape(B, -1)
-        out = jnp.take_along_axis(flat, lin[..., None], axis=1)
+        # one SCALAR-slice gather per channel: XLA-TPU pads slice shapes to
+        # full (8,128) register tiles, so a (1,C) slice costs ~170x its
+        # payload in temp HBM (see rasterize.interpolate_attributes)
+        out = jnp.stack(
+            [jnp.take_along_axis(tex_flat[:, c], lin, axis=1)
+             for c in range(C)], axis=-1)
         out = out.reshape(*iy.shape, C)
         inb = ((iy >= 0) & (iy < TH) & (ix >= 0) & (ix < TW))[..., None]
         return jnp.where(inb, out, 0.0)
