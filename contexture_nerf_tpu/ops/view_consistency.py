@@ -55,7 +55,11 @@ def compute_view_consistency(rendered_views: jnp.ndarray,
                  & (src_yx[..., 1] >= 0) & (src_yx[..., 1] < W))
 
     imgs = jnp.transpose(rendered_views, (0, 2, 3, 1))  # (V,H,W,C)
-    gathered = imgs[jnp.arange(V)[:, None, None, None], sy, sx]  # (Vj,Vi,H,W,C)
+    # scalar-slice gathers per channel (XLA-TPU pads slice shapes to full
+    # register tiles; see rasterize.interpolate_attributes)
+    vj = jnp.arange(V)[:, None, None, None]
+    gathered = jnp.stack(
+        [imgs[..., c][vj, sy, sx] for c in range(C)], axis=-1)
     target = jnp.broadcast_to(imgs[None], gathered.shape)
 
     sim = 1.0 - jnp.abs(target - gathered).sum(-1) / C  # (Vj,Vi,H,W)
