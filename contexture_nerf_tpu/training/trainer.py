@@ -337,11 +337,16 @@ class ConTEXTure:
                      for i in range(6)]
             grid = merge_6_to_grid(jnp.concatenate(tiles, axis=0))
             grid = scale_image(grid * 2 - 1)
-            mean, logvar = vae.apply(vae_params, grid,
-                                     method=vae.encode_moments)
+
             from contexture_nerf_tpu.diffusion.vae import sample_gaussian
 
-            z = sample_gaussian(mean, logvar, key) * \
+            # remat the encoder: storing its conv/norm activations for the
+            # backward costs ~5 GB at 960x640 (measured); recompute instead
+            def encode(vp, g, k):
+                mean, logvar = vae.apply(vp, g, method=vae.encode_moments)
+                return sample_gaussian(mean, logvar, k)
+
+            z = jax.checkpoint(encode)(vae_params, grid, key) * \
                 zero123plus.vae_config.scaling_factor
             return scale_latents(z), grid, mlp_out
 
@@ -387,6 +392,19 @@ class ConTEXTure:
             return params, opt_state, loss, grad_norm, fisher, grid
 
         sds_step_jit = jax.jit(sds_step)
+
+        if os.environ.get("CTN_DUMP_SDS_MEM"):
+            t0_ = jnp.asarray([500], jnp.int32)
+            k0_ = jax.random.PRNGKey(0)
+            comp = sds_step_jit.lower(
+                self.texture_params, opt_state, t0_, k0_, cache6, depth_grid,
+                cond_lat_pair, encoder_hidden_states, zero123plus.params,
+                vae_params).compile()
+            ma = comp.memory_analysis()
+            logger.info(
+                f"sds_step memory: temp {ma.temp_size_in_bytes/2**30:.2f} GB "
+                f"args {ma.argument_size_in_bytes/2**30:.2f} GB "
+                f"out {ma.output_size_in_bytes/2**30:.2f} GB")
 
         # teacher jit warms inside first call
         params = self.texture_params
