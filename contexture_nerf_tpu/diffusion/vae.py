@@ -68,22 +68,27 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.config
+        # per-block rematerialization: the encoder sits under the SDS loss
+        # gradient, and its backward otherwise holds every conv/norm
+        # activation at 960x640 live at once (~5 GB measured); nn.remat
+        # bounds the peak to one block's activations
+        Resnet = nn.remat(ResnetBlock2D, static_argnums=())
         h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
                     dtype=self.dtype, name="conv_in")(x)
         for bi, out_ch in enumerate(cfg.block_out_channels):
             for li in range(cfg.layers_per_block):
-                h = ResnetBlock2D(out_ch, eps=1e-6, dtype=self.dtype,
-                                  use_temb=False,
-                                  name=f"down_{bi}_resnet_{li}")(h)
+                h = Resnet(out_ch, eps=1e-6, dtype=self.dtype,
+                           use_temb=False,
+                           name=f"down_{bi}_resnet_{li}")(h)
             if bi < len(cfg.block_out_channels) - 1:
                 h = Downsample2D(out_ch, dtype=self.dtype,
                                  name=f"down_{bi}_downsample")(h)
         mid_ch = cfg.block_out_channels[-1]
-        h = ResnetBlock2D(mid_ch, eps=1e-6, dtype=self.dtype, use_temb=False,
-                          name="mid_resnet_0")(h)
+        h = Resnet(mid_ch, eps=1e-6, dtype=self.dtype, use_temb=False,
+                   name="mid_resnet_0")(h)
         h = _VAEAttention(dtype=self.dtype, name="mid_attn")(h)
-        h = ResnetBlock2D(mid_ch, eps=1e-6, dtype=self.dtype, use_temb=False,
-                          name="mid_resnet_1")(h)
+        h = Resnet(mid_ch, eps=1e-6, dtype=self.dtype, use_temb=False,
+                   name="mid_resnet_1")(h)
         h = nn.GroupNorm(32, epsilon=1e-6, dtype=jnp.float32,
                          name="conv_norm_out")(h)
         h = nn.silu(h).astype(self.dtype)

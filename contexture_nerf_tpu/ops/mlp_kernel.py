@@ -32,7 +32,8 @@ _EMB_PAD = 128  # 42-dim embedding padded to one lane tile
 _W = 256
 _SKIP = 4  # concat input after this layer's relu (run_nerf_helpers.py:83)
 _DEPTH = 8
-_OUT_PAD = 128  # 3 output channels padded
+_OUT_PAD = 8  # 3 output channels padded (sublane multiple; a
+# 128-lane pad would cost 42x the payload in HBM for g/out buffers)
 
 
 def _embed_block(uv, multires: int):
