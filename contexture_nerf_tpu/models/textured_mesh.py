@@ -132,10 +132,20 @@ class TexturedMeshModel:
                                 multires=self.multires)
 
     def query_texture_at_uv(self, params, uv: jnp.ndarray) -> jnp.ndarray:
-        """Direct MLP query at arbitrary UVs (bypasses the lattice) — the
-        TPU-preferred path for sparse queries."""
-        emb = fourier_embed(uv, multires=self.multires)
-        return (jnp.tanh(self.texture_mlp.apply(params, emb)) + 1.0) / 2.0
+        """Direct MLP query at arbitrary UVs (N,2) -> (N,3) colors in [0,1]
+        (bypasses the lattice) — the TPU-preferred render path. Uses the
+        fused Pallas kernel on TPU (VMEM-resident activations)."""
+        use_fused = (jax.default_backend() == "tpu"
+                     and self.texture_mlp.D == 8 and self.texture_mlp.W == 256
+                     and tuple(self.texture_mlp.skips) == (4,))
+        if use_fused:
+            from contexture_nerf_tpu.ops.mlp_kernel import fused_nerf2d
+
+            out = fused_nerf2d(params, uv, self.multires)
+        else:
+            out = self.texture_mlp.apply(
+                params, fourier_embed(uv, multires=self.multires))
+        return (jnp.tanh(out) + 1.0) / 2.0
 
     def get_texture_map_only_valid_areas(self, params) -> jnp.ndarray:
         """Texture map with only UV-chart-covered texels painted (reference

@@ -327,15 +327,49 @@ class ConTEXTure:
         lat_tile = self.tile_px // vae_down
         tile_px = self.tile_px
 
+        exact_render = self.cfg.optim.exact_lattice_render
+
+        if not exact_render:
+            # TPU-first student render (SURVEY.md §7): crop+resize the STATIC
+            # uv/mask maps once, then each iteration evaluates the texture
+            # MLP directly at the resized UVs — dense MXU math, no
+            # lattice-gather/scatter in the hot loop. UVs are mask-weighted
+            # through the resize so background zeros don't bleed into edges.
+            uv_maps = jnp.transpose(cache6.uv_features, (0, 3, 1, 2))
+            mask6 = cache6.mask
+            uv_tiles, m_tiles = [], []
+            for i in range(6):
+                m_t = crop_and_resize(mask6[i:i + 1], bboxes6[i],
+                                      tile_px, tile_px)
+                uvm = crop_and_resize((uv_maps * mask6)[i:i + 1], bboxes6[i],
+                                      tile_px, tile_px)
+                uv_tiles.append(uvm / jnp.maximum(m_t, 1e-6))
+                m_tiles.append(m_t)
+            uv_grid = merge_6_to_grid(jnp.concatenate(uv_tiles, axis=0))
+            mask_grid = merge_6_to_grid(jnp.concatenate(m_tiles, axis=0))
+            uv_grid_pts = jnp.clip(
+                jnp.transpose(uv_grid[0], (1, 2, 0)).reshape(-1, 2), 0.0, 1.0)
+            grid_hw = (3 * tile_px, 2 * tile_px)
+
         def render_grid_latent(params, cache6, vae_params, key):
-            texture, mlp_out = mesh_model.get_texture_map(params)
-            image, mask, _, _ = mesh_model.renderer.render_texture_with_cache(
-                cache6, texture, background_type="none")
-            image = jnp.clip(image * mask + 0.5 * (1 - mask), 0.0, 1.0)
-            tiles = [crop_and_resize(image[i:i + 1], bboxes6[i],
-                                     tile_px, tile_px)
-                     for i in range(6)]
-            grid = merge_6_to_grid(jnp.concatenate(tiles, axis=0))
+            if exact_render:
+                texture, mlp_out = mesh_model.get_texture_map(params)
+                image, mask, _, _ = \
+                    mesh_model.renderer.render_texture_with_cache(
+                        cache6, texture, background_type="none")
+                image = jnp.clip(image * mask + 0.5 * (1 - mask), 0.0, 1.0)
+                tiles = [crop_and_resize(image[i:i + 1], bboxes6[i],
+                                         tile_px, tile_px)
+                         for i in range(6)]
+                grid = merge_6_to_grid(jnp.concatenate(tiles, axis=0))
+            else:
+                rgb = mesh_model.query_texture_at_uv(params, uv_grid_pts)
+                mlp_out = rgb
+                grid = jnp.transpose(
+                    rgb.reshape(grid_hw[0], grid_hw[1], 3),
+                    (2, 0, 1))[None]
+                grid = jnp.clip(grid * mask_grid + 0.5 * (1 - mask_grid),
+                                0.0, 1.0)
             grid = scale_image(grid * 2 - 1)
 
             from contexture_nerf_tpu.diffusion.vae import sample_gaussian
