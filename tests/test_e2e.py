@@ -82,3 +82,16 @@ def test_entry_traceable():
         assert shape.shape == (1, 4, 24, 16)
     finally:
         os.environ.pop("GRAFT_ENTRY_TINY", None)
+
+
+def test_full_pipeline_tiny_exact_lattice(sphere_obj, tmp_path):
+    """The reference-exact lattice/bilinear student render path stays live."""
+    from contexture_nerf_tpu.training.trainer import ConTEXTure
+
+    cfg = _tiny_cfg(sphere_obj, tmp_path, iters=1)
+    cfg.log.exp_name = "e2e_tiny_exact"
+    cfg.optim.exact_lattice_render = True
+    cfg.log.save_mesh = False
+    trainer = ConTEXTure(cfg, tiny_models=True, backend="xla")
+    trainer.paint()
+    assert (Path(cfg.log.exp_dir) / "metrics.json").exists()
