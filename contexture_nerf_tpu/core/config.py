@@ -126,6 +126,8 @@ class OptimConfig:
     sds_lr: float = 1e-5
     sds_betas: Tuple[float, float] = (0.9, 0.99)
     sds_eps: float = 1e-15
+    # Resume the SDS loop from the newest checkpoint in exp_dir/checkpoints
+    resume: bool = False
     # Student render in the SDS loop: False (default) queries the texture MLP
     # directly at the crop-resized rasterized UVs (dense MXU math, ~10x faster
     # on TPU); True reproduces the reference's lattice->bilinear-sample->

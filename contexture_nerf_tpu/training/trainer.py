@@ -442,11 +442,21 @@ class ConTEXTure:
 
         # teacher jit warms inside first call
         params = self.texture_params
+        start_iter = 0
+        if self.cfg.optim.resume:
+            from contexture_nerf_tpu.core.checkpoint import latest_iteration
+
+            latest = latest_iteration(self.ckpt_path)
+            if latest is not None:
+                restored = self.load_checkpoint(latest)
+                params = restored["params"]
+                start_iter = int(restored["iteration"])
+                logger.info(f"Resumed from checkpoint iter {start_iter}")
         metrics_log = []
         ikl_running_avg = None
         t_schedule_np = np.asarray(t_schedule)
         t0 = time.time()
-        for i in range(iterations):
+        for i in range(start_iter, iterations):
             self.key, sub = jax.random.split(self.key)
             t = jnp.asarray([int(t_schedule_np[i])], jnp.int32)
             params, opt_state, loss, grad_norm, fisher, grid = sds_step_jit(

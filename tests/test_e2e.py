@@ -95,3 +95,19 @@ def test_full_pipeline_tiny_exact_lattice(sphere_obj, tmp_path):
     trainer = ConTEXTure(cfg, tiny_models=True, backend="xla")
     trainer.paint()
     assert (Path(cfg.log.exp_dir) / "metrics.json").exists()
+
+
+def test_resume_from_checkpoint(sphere_obj, tmp_path):
+    from contexture_nerf_tpu.core import checkpoint as ckpt
+    from contexture_nerf_tpu.training.trainer import ConTEXTure
+
+    cfg = _tiny_cfg(sphere_obj, tmp_path, iters=3)
+    cfg.log.exp_name = "e2e_resume"
+    cfg.log.save_mesh = False
+    trainer = ConTEXTure(cfg, tiny_models=True, backend="xla")
+    # seed a checkpoint at iteration 2, then resume
+    trainer.save_checkpoint(trainer.texture_params, None, 2)
+    assert ckpt.latest_iteration(trainer.ckpt_path) == 2
+    cfg.optim.resume = True
+    trainer.paint()  # runs only iteration 2
+    assert (Path(cfg.log.exp_dir) / "metrics.json").exists()
