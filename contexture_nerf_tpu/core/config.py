@@ -100,6 +100,13 @@ class GuideConfig:
     z_update_thr: float = 0.2
     # Some more strict masking for projecting back
     strict_projection: bool = True
+    # TPU additions: local checkpoint snapshot roots (diffusers layout).
+    # When diffusion_name is a local directory it is used as the SD2-depth
+    # snapshot root; these cover the other models. All optional (random init
+    # otherwise — this environment is zero-egress).
+    inpaint_model_path: Optional[str] = None
+    zero123plus_path: Optional[str] = None
+    controlnet_path: Optional[str] = None
 
 
 @dataclass
