@@ -30,11 +30,16 @@ def save(path: Path, params: Any, opt_state: Any = None,
     ckptr.wait_until_finished()
 
 
-def restore(path: Path) -> Dict[str, Any]:
+def restore(path: Path, target: Any = None) -> Dict[str, Any]:
+    """Restore a checkpoint. `target` is an optional pytree of real values or
+    jax.ShapeDtypeStructs giving the expected structure — required to get
+    typed containers (e.g. optax NamedTuple states) back instead of raw
+    dicts. With target=None, returns whatever structure was saved (older
+    checkpoints without opt_state/rng_key restore fine this way)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(Path(path).absolute())
+    return ckptr.restore(Path(path).absolute(), target)
 
 
 def latest_iteration(ckpt_dir: Path) -> Optional[int]:

@@ -135,11 +135,18 @@ class OptimConfig:
     sds_eps: float = 1e-15
     # Resume the SDS loop from the newest checkpoint in exp_dir/checkpoints
     resume: bool = False
+    # Save a full checkpoint (params + opt state + RNG key) every N SDS iters
+    checkpoint_interval: int = 1000
     # Student render in the SDS loop: False (default) queries the texture MLP
     # directly at the crop-resized rasterized UVs (dense MXU math, ~10x faster
     # on TPU); True reproduces the reference's lattice->bilinear-sample->
     # crop-resize pipeline exactly (gather-heavy).
     exact_lattice_render: bool = False
+    # Multi-chip SPMD for the SDS step: 'auto' shards over all devices when
+    # the backend is a real multi-chip TPU; 'on' forces sharding over all
+    # visible devices (tests use this on the virtual 8-CPU mesh); 'off'
+    # keeps the step single-device.
+    data_parallel: str = "auto"
 
 
 @dataclass

@@ -232,24 +232,37 @@ class Zero123PlusPipeline:
 
     # -- core UNet forward (ref-attn + controlnet + CFG) ------------------------
 
-    def _cfg_v_pred(self, params, latents, t, cond_lat_pair,
-                    encoder_hidden_states, depth_image, guidance_scale,
-                    key, scale_input):
-        """One CFG-combined model forward at timestep t.
+    def _cfg_core(self, params, latents, t, branch_cond_lats, branch_ehs,
+                  depth_image, key, scale_input):
+        """Run the ref-attn UNet + depth ControlNet over nb CFG branches and
+        return the per-branch v-predictions as a list of (B,4,H,W) arrays.
 
-        latents: (B,4,H,W); cond_lat_pair: (2,4,hc,wc);
-        depth_image: (B,3,8H,8W). Mirrors RefOnlyNoisedUNet.forward +
-        DepthControlUNet.forward (zero123plus.py:202-237,280-298)."""
+        latents: (B,4,H,W); branch_cond_lats: (nb,4,hc,wc) cond latent per
+        branch; branch_ehs: (nb,77,ctx). Mirrors RefOnlyNoisedUNet.forward +
+        DepthControlUNet.forward (zero123plus.py:202-237,280-298).
+
+        Write-pass noising: the cond latent is DDPM-noised to t and fed to
+        the UNet as-is. The hub's val path noises in the live scheduler's
+        native domain then applies scale_model_input, which for EulerAncestral
+        (x0 + sigma*eps, scaled by 1/sqrt(sigma^2+1)) equals exactly the
+        DDPM-noised latent — so no second input scaling is applied here.
+        Branches that share a cond latent share the write-pass noise, so a
+        branch's reference KV depends only on (cond latent, ehs, t)."""
         B = latents.shape[0]
-        if B > 1:  # tile the CFG pair across the latent batch
-            neg, cond = jnp.split(cond_lat_pair, 2, axis=0)
-            cond_lat_pair = jnp.concatenate(
-                [jnp.repeat(neg, B, 0), jnp.repeat(cond, B, 0)])
-            neg_e, cond_e = jnp.split(encoder_hidden_states, 2, axis=0)
-            encoder_hidden_states = jnp.concatenate(
-                [jnp.repeat(neg_e, B, 0), jnp.repeat(cond_e, B, 0)])
-        lat_in = jnp.concatenate([latents] * 2)
-        lat_in = scale_input(lat_in)
+        nb = branch_cond_lats.shape[0]
+        # one noise draw per distinct cond latent row 0 (negative) vs rest
+        k_neg, k_cond = jax.random.split(key)
+        neg_noise = jax.random.normal(k_neg, branch_cond_lats.shape[1:],
+                                      branch_cond_lats.dtype)
+        cond_noise = jax.random.normal(k_cond, branch_cond_lats.shape[1:],
+                                       branch_cond_lats.dtype)
+        branch_noise = jnp.stack([neg_noise] + [cond_noise] * (nb - 1))
+
+        # tile branches across the latent batch: [b0 x B, b1 x B, ...]
+        cond_lats = jnp.repeat(branch_cond_lats, B, axis=0)
+        ehs = jnp.repeat(branch_ehs, B, axis=0)
+        noise = jnp.repeat(branch_noise, B, axis=0)
+        lat_in = scale_input(jnp.concatenate([latents] * nb))
 
         # the ControlNet cond embedder downsamples by 8; align the pixel-space
         # depth image to 8x the latent grid (matters when the VAE's downsample
@@ -260,28 +273,56 @@ class Zero123PlusPipeline:
                 depth_image, depth_image.shape[:2] + (th, tw),
                 method="linear")
 
-        # write pass: noise the cond latent to t (val scheduler semantics)
-        noise = jax.random.normal(key, cond_lat_pair.shape,
-                                  cond_lat_pair.dtype)
-        noisy_cond = sch.add_noise(self.alphas_cumprod, cond_lat_pair, noise,
-                                   jnp.broadcast_to(t,
-                                                    (cond_lat_pair.shape[0],)))
-        noisy_cond = scale_input(noisy_cond)
+        noisy_cond = sch.add_noise(self.alphas_cumprod, cond_lats, noise,
+                                   jnp.broadcast_to(t, (cond_lats.shape[0],)))
         ref = []
-        self.unet.apply(params["unet"], noisy_cond, t,
-                        encoder_hidden_states, ref_out=ref)
+        self.unet.apply(params["unet"], noisy_cond, t, ehs, ref_out=ref)
 
-        depth_pair = jnp.concatenate([depth_image] * 2)
+        depth_all = jnp.concatenate([depth_image] * nb)
         downs, mid = self.controlnet.apply(
-            params["controlnet"], lat_in, t, encoder_hidden_states,
-            depth_pair, self.conditioning_scale)
+            params["controlnet"], lat_in, t, ehs,
+            depth_all, self.conditioning_scale)
 
-        v = self.unet.apply(params["unet"], lat_in, t,
-                            encoder_hidden_states,
+        v = self.unet.apply(params["unet"], lat_in, t, ehs,
                             down_residuals=downs, mid_residual=mid,
                             ref_kv_list=ref)
-        v_uncond, v_cond = jnp.split(v, 2, axis=0)
+        return jnp.split(v, nb, axis=0)
+
+    def _cfg_v_pred(self, params, latents, t, cond_lat_pair,
+                    encoder_hidden_states, depth_image, guidance_scale,
+                    key, scale_input):
+        """Standard two-branch CFG: v_u + g * (v_c - v_u)."""
+        v_uncond, v_cond = self._cfg_core(
+            params, latents, t, cond_lat_pair, encoder_hidden_states,
+            depth_image, key, scale_input)
         return v_uncond + guidance_scale * (v_cond - v_uncond)
+
+    def _cfg_v_pred_individual(self, params, latents, t, cond_lat_pair,
+                               encoder_hidden_states, depth_image,
+                               guidance_scale_i, guidance_scale_t, key,
+                               scale_input):
+        """Three-branch CFG with separate image/text guidance scales
+        (guide.individual_control_of_conditions + guidance_scale_i/t,
+        reference train_config.py:51-53; the reference's consuming branches
+        are commented out, stable_diffusion_depth.py:461,754 — realized here
+        for the Zero123++ teacher so run_ablation_study.py sweeps something
+        real). Branches: uncond (negative latent, un-ramped empty prompt),
+        image-only (cond latent, un-ramped prompt), full (cond latent,
+        vision-ramped prompt):
+
+            v = v_u + gs_i * (v_img - v_u) + gs_t * (v_full - v_img)
+
+        gs_i == gs_t == g collapses algebraically to standard CFG at scale g.
+        """
+        neg_lat, cond_lat = jnp.split(cond_lat_pair, 2, axis=0)
+        uncond_e, cond_e = jnp.split(encoder_hidden_states, 2, axis=0)
+        branch_lats = jnp.concatenate([neg_lat, cond_lat, cond_lat])
+        branch_ehs = jnp.concatenate([uncond_e, uncond_e, cond_e])
+        v_u, v_img, v_full = self._cfg_core(
+            params, latents, t, branch_lats, branch_ehs, depth_image, key,
+            scale_input)
+        return (v_u + guidance_scale_i * (v_img - v_u)
+                + guidance_scale_t * (v_full - v_img))
 
     # -- SDS teacher -------------------------------------------------------------
 

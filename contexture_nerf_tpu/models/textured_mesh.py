@@ -27,28 +27,135 @@ from contexture_nerf_tpu.models.mesh import Mesh
 from contexture_nerf_tpu.raster.render import RenderCache, Renderer
 
 
-def atlas_unwrap(vertices: np.ndarray, faces: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-face UV atlas packing (fallback for meshes without UVs).
+def _face_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    e1 = vertices[faces[:, 1]] - vertices[faces[:, 0]]
+    e2 = vertices[faces[:, 2]] - vertices[faces[:, 0]]
+    n = np.cross(e1, e2)
+    return n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
 
-    Plays the role of xatlas in the reference (textured_mesh.py:390-404): every
-    triangle gets its own isosceles right-triangle chart in a sqrt(F) grid with
-    a small gutter. No overlaps; area-uniform. Returns (vt [3F,2], ft [F,3])."""
+
+def _grow_charts(vertices: np.ndarray, faces: np.ndarray,
+                 angle_thr_deg: float) -> np.ndarray:
+    """BFS chart growing over the face-adjacency graph: a neighbor joins a
+    chart while its normal stays within angle_thr of the chart's seed normal
+    (bounds total curvature so the planar projection stays injective).
+    Returns chart id per face."""
+    from collections import deque
+
     F = faces.shape[0]
-    cols = int(np.ceil(np.sqrt(F)))
-    rows = int(np.ceil(F / cols))
-    cw, ch = 1.0 / cols, 1.0 / rows
-    gut = 0.1  # fraction of a cell kept as gutter
-    vt = np.zeros((3 * F, 2), np.float32)
-    ft = np.arange(3 * F, dtype=np.int64).reshape(F, 3)
-    idx = np.arange(F)
-    cx = (idx % cols) * cw
-    cy = (idx // cols) * ch
-    x0, y0 = cx + gut * cw, cy + gut * ch
-    x1, y1 = cx + (1 - gut) * cw, cy + (1 - gut) * ch
-    vt[0::3] = np.stack([x0, y0], -1)
-    vt[1::3] = np.stack([x1, y0], -1)
-    vt[2::3] = np.stack([x0, y1], -1)
-    return vt, ft
+    normals = _face_normals(vertices, faces)
+    edge_to_faces: Dict[Tuple[int, int], list] = {}
+    for f in range(F):
+        a, b, c = faces[f]
+        for e in ((a, b), (b, c), (c, a)):
+            edge_to_faces.setdefault(tuple(sorted(e)), []).append(f)
+    neighbors = [[] for _ in range(F)]
+    for fs in edge_to_faces.values():
+        for i in fs:
+            for j in fs:
+                if i != j:
+                    neighbors[i].append(j)
+
+    cos_thr = np.cos(np.deg2rad(angle_thr_deg))
+    chart = np.full(F, -1, np.int64)
+    n_charts = 0
+    for seed in range(F):
+        if chart[seed] >= 0:
+            continue
+        cid = n_charts
+        n_charts += 1
+        chart[seed] = cid
+        seed_n = normals[seed]
+        q = deque([seed])
+        while q:
+            f = q.popleft()
+            for g in neighbors[f]:
+                if chart[g] < 0 and float(normals[g] @ seed_n) >= cos_thr:
+                    chart[g] = cid
+                    q.append(g)
+    return chart
+
+
+def atlas_unwrap(vertices: np.ndarray, faces: np.ndarray,
+                 angle_thr_deg: float = 75.0,
+                 gutter: float = 4.0 / 1024.0
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Connected-chart UV unwrap (the xatlas role in the reference,
+    textured_mesh.py:390-404; host-side one-shot, disk-cached like the
+    reference's vt.pth/ft.pth).
+
+    Charts are BFS-grown over face adjacency with a normal-angle threshold,
+    each chart is parameterized by orthographic projection onto its seed
+    tangent plane (vertices welded per chart, so adjacent faces in a chart
+    share UV edges — preserving the UV-neighborhood continuity the texture
+    MLP's smoothness prior depends on), and chart boxes are shelf-packed at
+    uniform texel density into the unit square. Returns (vt [n,2], ft [F,3])."""
+    F = faces.shape[0]
+    chart = _grow_charts(vertices, faces, angle_thr_deg)
+    n_charts = int(chart.max()) + 1
+    normals = _face_normals(vertices, faces)
+
+    charts = []  # per chart: (face ids, welded uvs (k,2), ft_local (m,3))
+    for cid in range(n_charts):
+        fids = np.nonzero(chart == cid)[0]
+        seed_n = normals[fids[0]]
+        # orthonormal tangent basis for the seed plane
+        up = np.array([0.0, 1.0, 0.0])
+        if abs(float(seed_n @ up)) > 0.9:
+            up = np.array([1.0, 0.0, 0.0])
+        u = np.cross(up, seed_n)
+        u /= max(np.linalg.norm(u), 1e-12)
+        v = np.cross(seed_n, u)
+        verts_used = np.unique(faces[fids].reshape(-1))
+        local = {int(g): i for i, g in enumerate(verts_used)}
+        p = vertices[verts_used]
+        uv = np.stack([p @ u, p @ v], axis=-1)
+        uv -= uv.min(axis=0)
+        ft_local = np.vectorize(local.get)(faces[fids])
+        charts.append((fids, uv.astype(np.float64), ft_local))
+
+    # shelf packing at uniform density: binary-search the global scale
+    sizes = np.array([c[1].max(axis=0) if len(c[1]) else (0, 0)
+                      for c in charts])  # (n_charts, 2) chart w/h
+    order = np.argsort(-sizes[:, 1])  # tallest first
+
+    def pack(scale):
+        """Place chart bboxes in shelves; returns None if overflow, else
+        offsets (n_charts, 2)."""
+        offsets = np.zeros((n_charts, 2))
+        x = y = shelf_h = 0.0
+        for ci in order:
+            w, h = sizes[ci] * scale
+            if w > 1.0 - 2 * gutter or h > 1.0 - 2 * gutter:
+                return None
+            if x + w + 2 * gutter > 1.0:
+                y += shelf_h
+                x = shelf_h = 0.0
+            if y + h + 2 * gutter > 1.0:
+                return None
+            offsets[ci] = (x + gutter, y + gutter)
+            x += w + 2 * gutter
+            shelf_h = max(shelf_h, h + 2 * gutter)
+        return offsets
+
+    total_area = float(np.prod(sizes + 1e-9, axis=1).sum())
+    scale = np.sqrt(0.5 / max(total_area, 1e-12))
+    offsets = None
+    for _ in range(40):
+        offsets = pack(scale)
+        if offsets is not None:
+            break
+        scale *= 0.85
+    assert offsets is not None, "atlas packing failed"
+
+    vt_parts, ft = [], np.zeros((F, 3), np.int64)
+    base = 0
+    for ci, (fids, uv, ft_local) in enumerate(charts):
+        vt_parts.append(uv * scale + offsets[ci])
+        ft[fids] = ft_local + base
+        base += uv.shape[0]
+    vt = np.concatenate(vt_parts, axis=0).astype(np.float32)
+    return np.clip(vt, 0.0, 1.0), ft
 
 
 class TexturedMeshModel:
@@ -131,11 +238,16 @@ class TexturedMeshModel:
                                 self.texture_resolution,
                                 multires=self.multires)
 
-    def query_texture_at_uv(self, params, uv: jnp.ndarray) -> jnp.ndarray:
+    def query_texture_at_uv(self, params, uv: jnp.ndarray,
+                            allow_fused: bool = True) -> jnp.ndarray:
         """Direct MLP query at arbitrary UVs (N,2) -> (N,3) colors in [0,1]
         (bypasses the lattice) — the TPU-preferred render path. Uses the
-        fused Pallas kernel on TPU (VMEM-resident activations)."""
-        use_fused = (jax.default_backend() == "tpu"
+        fused Pallas kernel on TPU (VMEM-resident activations);
+        allow_fused=False forces the plain flax path (needed under GSPMD
+        sharding, where XLA partitions dense matmuls but treats a Pallas
+        call as an opaque replicated custom call)."""
+        use_fused = (allow_fused
+                     and jax.default_backend() == "tpu"
                      and self.texture_mlp.D == 8 and self.texture_mlp.W == 256
                      and tuple(self.texture_mlp.skips) == (4,))
         if use_fused:
@@ -261,15 +373,64 @@ class TexturedMeshModel:
         return v
 
     def apply_median_fill(self, texture: jnp.ndarray) -> jnp.ndarray:
-        """Replace near-default-color texels with the median (mean) of painted
-        texels (reference change_default_to_median, textured_mesh.py:362-369)."""
+        """Replace near-default-color texels with the per-channel median of
+        painted texels (reference change_default_to_median,
+        textured_mesh.py:362-369). Median of the masked subset via sort:
+        unpainted texels are pushed to +inf so they land past the painted
+        count; torch.median's lower-middle convention is matched."""
         default = jnp.asarray(self.default_color).reshape(1, 3, 1, 1)
         diff = jnp.abs(texture - default).sum(axis=1, keepdims=True)
         default_mask = (diff < 0.1).astype(texture.dtype)
         painted = 1.0 - default_mask
-        denom = jnp.maximum(painted.sum(), 1.0)
-        median = (texture * painted).sum(axis=(0, 2, 3)) / denom
+        n_painted = painted.sum().astype(jnp.int32)
+        vals = jnp.where(painted > 0, texture, jnp.inf)  # (1,3,H,W)
+        svals = jnp.sort(vals.reshape(texture.shape[1], -1), axis=1)
+        mid = jnp.maximum(n_painted - 1, 0) // 2  # torch lower median
+        median = jnp.take_along_axis(svals, jnp.full((svals.shape[0], 1),
+                                                     mid), axis=1)[:, 0]
+        median = jnp.where(n_painted > 0, median, 0.0)
         return texture * painted + median.reshape(1, 3, 1, 1) * default_mask
+
+    def fit_texture_to_image(self, params, image: jnp.ndarray,
+                             key: jax.Array, steps: int = 300,
+                             lr: float = 1e-3, batch: int = 4096):
+        """Seed the texture field from an image (guide.initial_texture /
+        guide.reference_texture). The reference initializes its texture_img
+        tensor from the file directly (src/models/textured_mesh.py:119-122);
+        the MLP-field equivalent is a short regression: minimize
+        MSE(MLP(uv), sample(image, uv)) over random UV batches so renders of
+        the field match renders of the image-as-texture. image: (3,R,R) in
+        [0,1]. Returns fitted params."""
+        import optax
+
+        from contexture_nerf_tpu.ops.texture import sample_texture
+
+        img = jnp.asarray(image)[None]  # (1,3,R,R)
+        opt = optax.adam(lr)
+        mlp = self.texture_mlp
+        multires = self.multires
+
+        def loss_fn(p, uv):
+            pred = (jnp.tanh(mlp.apply(
+                p, fourier_embed(uv, multires=multires))) + 1) / 2
+            tgt = sample_texture(uv[None, None], img)[0, 0]  # (N,3)
+            return jnp.mean((pred - tgt) ** 2)
+
+        def step(carry, k):
+            p, s = carry
+            uv = jax.random.uniform(k, (batch, 2))
+            loss, g = jax.value_and_grad(loss_fn)(p, uv)
+            up, s = opt.update(g, s, p)
+            return (optax.apply_updates(p, up), s), loss
+
+        @jax.jit
+        def fit(params, keys):
+            (p, _), losses = jax.lax.scan(step, (params, opt.init(params)),
+                                          keys)
+            return p, losses
+
+        params, losses = fit(params, jax.random.split(key, steps))
+        return params
 
     # -- rendering ------------------------------------------------------------
 

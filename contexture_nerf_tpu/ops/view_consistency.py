@@ -15,11 +15,14 @@ import jax.numpy as jnp
 def compute_view_consistency(rendered_views: jnp.ndarray,
                              faces: jnp.ndarray,
                              face_idx: jnp.ndarray,
-                             face_vertices_image: jnp.ndarray) -> jnp.ndarray:
+                             face_vertices_image: jnp.ndarray,
+                             n_vertices: int = None) -> jnp.ndarray:
     """rendered_views (V,C,H,W), faces (F,3), face_idx (V,H,W),
-    face_vertices_image (V,F,3,2) NDC. Returns scalar mean similarity."""
+    face_vertices_image (V,F,3,2) NDC. Returns scalar mean similarity.
+    n_vertices must be passed when called under jit (a closure `faces`
+    traces, so its max is not concrete there)."""
     V, C, H, W = rendered_views.shape
-    N = int(faces.max()) + 1
+    N = int(faces.max()) + 1 if n_vertices is None else int(n_vertices)
     flat_faces = faces.reshape(-1)  # (3F,)
 
     # vertex -> pixel (y, x) per view; last write wins as in the reference

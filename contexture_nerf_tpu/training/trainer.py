@@ -25,6 +25,7 @@ import logging
 import math
 import os
 import time
+from functools import partial
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 
@@ -33,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from contexture_nerf_tpu.core import profiler
 from contexture_nerf_tpu.core.config import TrainConfig, dump_config
 from contexture_nerf_tpu.diffusion import schedulers as sch
 from contexture_nerf_tpu.diffusion.sd_depth import (SDWeightPaths,
@@ -125,6 +127,15 @@ class ConTEXTure:
         logger.addHandler(fh)
 
     def _init_mesh_model(self, backend) -> TexturedMeshModel:
+        if not Path(self.cfg.guide.shape_path).exists():
+            # shipped configs stay runnable without binary assets: generate a
+            # procedural stand-in for known shape names (tools/make_shapes.py)
+            try:
+                from tools.make_shapes import ensure_shape
+
+                ensure_shape(self.cfg.guide.shape_path)
+            except ImportError:
+                pass
         cache_path = Path("cache") / Path(self.cfg.guide.shape_path).stem
         cache_path.mkdir(parents=True, exist_ok=True)
         model = TexturedMeshModel(
@@ -140,7 +151,48 @@ class ConTEXTure:
         n = sum(int(np.prod(p.shape))
                 for p in jax.tree.leaves(self.texture_params))
         logger.info(f"Loaded Mesh, #parameters: {n}")
+        self._seed_texture_field(model)
         return model
+
+    def _load_texture_image(self, path) -> Optional[jnp.ndarray]:
+        from PIL import Image
+
+        p = Path(path)
+        if not p.exists():
+            logger.warning(f"texture image {p} not found; skipping")
+            return None
+        res = self.cfg.guide.texture_resolution
+        im = np.asarray(Image.open(p).convert("RGB").resize((res, res)),
+                        np.float32) / 255.0
+        return jnp.asarray(im.transpose(2, 0, 1))
+
+    def _seed_texture_field(self, model: TexturedMeshModel):
+        """Wire guide.initial_texture / guide.reference_texture.
+
+        The reference seeds its texture_img parameter from initial_texture
+        (src/models/textured_mesh.py:119-122 via train_config.py:73); the MLP
+        equivalent is a short regression fit. reference_texture in the
+        reference computes a change mask of edited texels and writes it into
+        an undefined meta_texture_img (src/models/textured_mesh.py:138-149 —
+        broken path there); here the mask is computed, stored, and logged."""
+        init_tex = self.cfg.guide.initial_texture
+        if init_tex is not None:
+            img = self._load_texture_image(init_tex)
+            if img is not None:
+                self.key, sub = jax.random.split(self.key)
+                self.texture_params = model.fit_texture_to_image(
+                    self.texture_params, img, sub)
+                logger.info(f"Seeded texture field from {init_tex}")
+
+        self.edit_change_mask = None
+        ref_tex = self.cfg.guide.reference_texture
+        if ref_tex is not None:
+            base = self._load_texture_image(ref_tex)
+            if base is not None:
+                current, _ = jax.jit(model.get_texture_map)(
+                    self.texture_params)
+                diff = jnp.abs(base[None] - current).sum(axis=1)
+                self.edit_change_mask = (diff > 0.1).astype(jnp.float32)
 
     def _init_diffusion(self) -> StableDiffusionDepth:
         # full-size stacks run bf16 (MXU-native; both UNet pairs at f32 would
@@ -256,18 +308,16 @@ class ConTEXTure:
     def paint(self):
         self.paint_zero123plus()
 
-    def paint_zero123plus(self):
-        """The SDS texture loop (reference trainer.py:545-911)."""
-        logger.info("Starting SDS Texture Generation ^_^")
+    def prepare_sds(self, skip_bootstrap: bool = False) -> Dict[str, Any]:
+        """Front-view bootstrap + all-view geometry + one-time teacher
+        conditioning (steps 1-5 of reference paint_zero123plus,
+        trainer.py:545-645). Returns the static setup `_build_sds_step`
+        consumes. skip_bootstrap=True replaces the 50-step SD2 img2img front
+        image with the current front render (multi-chip dryrun path)."""
         self.define_view_weights()
         background_gray = jnp.array([0.5, 0.5, 0.5])
 
-        # 1. front-view bootstrap (SD2-depth img2img)
-        frontview_data = self.dataloaders["train"].poses()[0]
-        rgb_output_front, object_mask_front = self.paint_viewpoint(
-            frontview_data, should_project_back=False)
-
-        # 2. all-view geometry + depth
+        # all-view geometry + depth (reference trainer.py:562)
         cache = self._geometry_cache
         outputs = self._render_cache_jit()(
             self.texture_params, cache, background_gray)
@@ -275,7 +325,17 @@ class ConTEXTure:
         depth_maps = 1.0 - outputs["depth"]
         B = int(object_masks.shape[0])
 
-        # 3. cond image: front crop -> 320^2, gray-composited RGBA
+        # front-view bootstrap (SD2-depth img2img, reference trainer.py:557)
+        if skip_bootstrap:
+            rgb_output_front = outputs["image"][:1]
+            object_mask_front = object_masks[:1]
+        else:
+            frontview_data = self.dataloaders["train"].poses()[0]
+            with profiler.phase("bootstrap"):
+                rgb_output_front, object_mask_front = self.paint_viewpoint(
+                    frontview_data, should_project_back=False)
+
+        # cond image: front crop -> 320^2, gray-composited RGBA
         masks_np = np.asarray(object_masks[:, 0])
         bbox_front = get_nonzero_region_tuple(
             np.asarray(object_mask_front[0, 0]))
@@ -284,7 +344,7 @@ class ConTEXTure:
         front_a = crop_and_resize(object_mask_front, bbox_front, tp, tp)
         cond_image = front_rgb * front_a + 0.5 * (1 - front_a)  # to_rgb_image
 
-        # 4. depth grid for the 6 target views (alpha -> gray bg)
+        # depth grid for the 6 target views (alpha -> gray bg)
         self._bboxes = [get_nonzero_region_tuple(masks_np[i])
                         for i in range(B)]
         depth_tiles = []
@@ -298,38 +358,37 @@ class ConTEXTure:
         self.log_train_image(depth_grid, "cropped_depth_grid",
                              file_type="png")
 
-        # 5. one-time teacher conditioning
+        # one-time teacher conditioning
         self.key, k_cond = jax.random.split(self.key)
         cond_lat_pair, encoder_hidden_states = \
             self.zero123plus.prepare_conditioning(cond_image * 2 - 1, k_cond)
 
-        # 6. jitted SDS step
-        iterations = self.cfg.optim.sds_iterations
-        acp = self.zero123plus.alphas_cumprod
-        t_schedule = sch.dreamtime_schedule(acp, iterations, m=500, s=125)
-        optimizer = optax.adam(self.cfg.optim.sds_lr,
-                               b1=self.cfg.optim.sds_betas[0],
-                               b2=self.cfg.optim.sds_betas[1],
-                               eps=self.cfg.optim.sds_eps)
-        opt_state = optimizer.init(self.texture_params)
-
         # slice the cache to the 6 target views for the hot loop
         cache6 = jax.tree.map(lambda x: x[1:], cache)
         bboxes6 = self._bboxes[1:]
-        mesh_model = self.mesh_model
-        zero123plus = self.zero123plus
-        vae = zero123plus.vae
-        vae_params = zero123plus.params["vae"]
-        guidance_scale = 10.0  # reference trainer.py:768
-        grad_scale = 0.2  # reference trainer.py:830
-        # latent tile size: tile px / VAE downsample factor (=40 for SD)
-        vae_down = 2 ** (len(zero123plus.vae_config.block_out_channels) - 1)
-        lat_tile = self.tile_px // vae_down
-        tile_px = self.tile_px
 
-        exact_render = self.cfg.optim.exact_lattice_render
+        # per-view tile-sampling probabilities from the view-weight masks:
+        # views whose pixels mostly see their faces head-on (best view) get
+        # proportionally more SDS tile draws. This consumes the reference's
+        # computed-but-unused six_view_weights (trainer.py:709; SURVEY.md §7
+        # "actually use or drop").
+        fg = object_masks > 0.5
+        best = jnp.logical_and(self.view_weights, fg)
+        frac = (best.sum(axis=(1, 2, 3)) /
+                jnp.maximum(fg.sum(axis=(1, 2, 3)), 1))
+        w6 = np.asarray(frac, np.float64)[1:]
+        tile_probs = jnp.asarray(w6 / max(w6.sum(), 1e-8), jnp.float32)
+        logger.info(f"view tile probs: {np.round(np.asarray(tile_probs), 3)}")
 
-        if not exact_render:
+        setup: Dict[str, Any] = {
+            "cache6": cache6, "bboxes6": bboxes6, "depth_grid": depth_grid,
+            "cond_lat_pair": cond_lat_pair,
+            "encoder_hidden_states": encoder_hidden_states,
+            "cond_image": cond_image, "tile_probs": tile_probs,
+            "uv_grid_pts": None, "mask_grid": None,
+        }
+
+        if not self.cfg.optim.exact_lattice_render:
             # TPU-first student render (SURVEY.md §7): crop+resize the STATIC
             # uv/mask maps once, then each iteration evaluates the texture
             # MLP directly at the resized UVs — dense MXU math, no
@@ -339,38 +398,124 @@ class ConTEXTure:
             mask6 = cache6.mask
             uv_tiles, m_tiles = [], []
             for i in range(6):
-                m_t = crop_and_resize(mask6[i:i + 1], bboxes6[i],
-                                      tile_px, tile_px)
+                m_t = crop_and_resize(mask6[i:i + 1], bboxes6[i], tp, tp)
                 uvm = crop_and_resize((uv_maps * mask6)[i:i + 1], bboxes6[i],
-                                      tile_px, tile_px)
+                                      tp, tp)
                 uv_tiles.append(uvm / jnp.maximum(m_t, 1e-6))
                 m_tiles.append(m_t)
             uv_grid = merge_6_to_grid(jnp.concatenate(uv_tiles, axis=0))
             mask_grid = merge_6_to_grid(jnp.concatenate(m_tiles, axis=0))
-            uv_grid_pts = jnp.clip(
+            setup["uv_grid_pts"] = jnp.clip(
                 jnp.transpose(uv_grid[0], (1, 2, 0)).reshape(-1, 2), 0.0, 1.0)
-            grid_hw = (3 * tile_px, 2 * tile_px)
+            setup["mask_grid"] = mask_grid
+        return setup
 
-        def render_grid_latent(params, cache6, vae_params, key):
+    def _make_mesh(self) -> Optional["jax.sharding.Mesh"]:
+        """Device mesh for the SDS step per optim.data_parallel:
+        'auto' -> all devices on a real multi-chip TPU backend; 'on' -> all
+        visible devices (tests use the 8-virtual-CPU mesh); 'off' -> None."""
+        from contexture_nerf_tpu.parallel.mesh import create_mesh
+
+        dp = self.cfg.optim.data_parallel
+        n = len(jax.devices())
+        if n <= 1 or dp == "off":
+            return None
+        if dp == "on" or (dp == "auto" and jax.default_backend() == "tpu"):
+            return create_mesh((n,), ("views",))
+        return None
+
+    def _build_sds_step(self, setup: Dict[str, Any], mesh=None):
+        """Build the jitted SDS step (reference hot loop trainer.py:671-907
+        as ONE graph). Returns (step_fn, optimizer, hot) where `hot` is the
+        dict of per-iteration device arguments.
+
+        With `mesh`, the step is jitted with explicit in_shardings: the
+        canvas-shaped tensors (depth grid, cond latent pair, UV points, mask
+        grid) shard spatially over the mesh axis, params/optimizer state
+        replicate, and sharding constraints keep the student grid + VAE
+        latents distributed — XLA emits the ICI collectives (conv halo
+        exchanges, attention all-gathers, grad psum). This is the production
+        multi-chip path replacing the reference's vestigial nn.DataParallel
+        (reference trainer.py:134-135; SURVEY.md §2.3)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cfg = self.cfg
+        mesh_model = self.mesh_model
+        zero123plus = self.zero123plus
+        vae = zero123plus.vae
+        acp = zero123plus.alphas_cumprod
+        guidance_scale = 10.0  # reference trainer.py:768
+        grad_scale = 0.2  # reference trainer.py:830
+        vae_down = 2 ** (len(zero123plus.vae_config.block_out_channels) - 1)
+        lat_tile = self.tile_px // vae_down
+        tile_px = self.tile_px
+        exact_render = cfg.optim.exact_lattice_render
+        bboxes6 = setup["bboxes6"]
+        individual = (cfg.guide.individual_control_of_conditions
+                      and cfg.guide.guidance_scale_i is not None
+                      and cfg.guide.guidance_scale_t is not None)
+        gs_i = float(cfg.guide.guidance_scale_i or 0.0)
+        gs_t = float(cfg.guide.guidance_scale_t or 0.0)
+
+        optimizer = optax.adam(cfg.optim.sds_lr,
+                               b1=cfg.optim.sds_betas[0],
+                               b2=cfg.optim.sds_betas[1],
+                               eps=cfg.optim.sds_eps)
+
+        hot = {
+            "cache6": setup["cache6"], "depth_grid": setup["depth_grid"],
+            "cond_lat_pair": setup["cond_lat_pair"],
+            "encoder_hidden_states": setup["encoder_hidden_states"],
+            "zp_params": zero123plus.params,
+            "vae_params": zero123plus.params["vae"],
+            "uv_grid_pts": setup["uv_grid_pts"],
+            "mask_grid": setup["mask_grid"],
+            "tile_probs": setup["tile_probs"],
+        }
+
+        n_mesh = mesh.shape["views"] if mesh is not None else 1
+
+        def shard_spec(x, spatial_dim):
+            """Spatial sharding over the mesh axis when divisible."""
+            if (mesh is None or not hasattr(x, "shape")
+                    or x.shape[spatial_dim] % n_mesh != 0):
+                return P()
+            spec = [None] * x.ndim
+            spec[spatial_dim] = "views"
+            return P(*spec)
+
+        def constrain(x, spatial_dim):
+            if mesh is None:
+                return x
+            spec = shard_spec(x, spatial_dim)
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, spec))
+
+        grid_hw = (3 * tile_px, 2 * tile_px)
+
+        def render_grid_latent(params, hot, key):
             if exact_render:
                 texture, mlp_out = mesh_model.get_texture_map(params)
                 image, mask, _, _ = \
                     mesh_model.renderer.render_texture_with_cache(
-                        cache6, texture, background_type="none")
+                        hot["cache6"], texture, background_type="none")
                 image = jnp.clip(image * mask + 0.5 * (1 - mask), 0.0, 1.0)
                 tiles = [crop_and_resize(image[i:i + 1], bboxes6[i],
                                          tile_px, tile_px)
                          for i in range(6)]
                 grid = merge_6_to_grid(jnp.concatenate(tiles, axis=0))
             else:
-                rgb = mesh_model.query_texture_at_uv(params, uv_grid_pts)
+                rgb = mesh_model.query_texture_at_uv(
+                    params, hot["uv_grid_pts"], allow_fused=(mesh is None))
                 mlp_out = rgb
                 grid = jnp.transpose(
                     rgb.reshape(grid_hw[0], grid_hw[1], 3),
                     (2, 0, 1))[None]
+                mask_grid = hot["mask_grid"]
                 grid = jnp.clip(grid * mask_grid + 0.5 * (1 - mask_grid),
                                 0.0, 1.0)
             grid = scale_image(grid * 2 - 1)
+            grid = constrain(grid, 2)
 
             from contexture_nerf_tpu.diffusion.vae import sample_gaussian
 
@@ -380,27 +525,35 @@ class ConTEXTure:
                 mean, logvar = vae.apply(vp, g, method=vae.encode_moments)
                 return sample_gaussian(mean, logvar, k)
 
-            z = jax.checkpoint(encode)(vae_params, grid, key) * \
+            z = jax.checkpoint(encode)(hot["vae_params"], grid, key) * \
                 zero123plus.vae_config.scaling_factor
+            z = constrain(z, 2)
             return scale_latents(z), grid, mlp_out
 
-        def sds_step(params, opt_state, t, key, cache6, depth_grid,
-                     cond_lat_pair, encoder_hidden_states, zp_params,
-                     vae_params):
+        def sds_step(params, opt_state, t, key, hot):
             k_enc, k_noise, k_teach, k_tile = jax.random.split(key, 4)
-            tile_idx = jax.random.randint(k_tile, (), 0, 6)
+            # view-weighted tile sampling (uniform in the reference,
+            # trainer.py:843; weights were computed there but never used)
+            tile_idx = jax.random.choice(k_tile, 6, p=hot["tile_probs"])
 
             def loss_fn(p):
-                z, grid, mlp_out = render_grid_latent(p, cache6, vae_params,
-                                                      k_enc)
+                z, grid, mlp_out = render_grid_latent(p, hot, k_enc)
                 z_sg = jax.lax.stop_gradient(z)
                 noise = jax.random.normal(k_noise, z.shape)
                 latents_noisy = sch.add_noise(acp, z_sg, noise, t)
-                v_pred = jax.lax.stop_gradient(
-                    zero123plus._cfg_v_pred(
-                        zp_params, latents_noisy, t, cond_lat_pair,
-                        encoder_hidden_states, depth_grid, guidance_scale,
-                        k_teach, scale_input=lambda x: x))
+                if individual:
+                    v_pred = zero123plus._cfg_v_pred_individual(
+                        hot["zp_params"], latents_noisy, t,
+                        hot["cond_lat_pair"], hot["encoder_hidden_states"],
+                        hot["depth_grid"], gs_i, gs_t, k_teach,
+                        scale_input=lambda x: x)
+                else:
+                    v_pred = zero123plus._cfg_v_pred(
+                        hot["zp_params"], latents_noisy, t,
+                        hot["cond_lat_pair"], hot["encoder_hidden_states"],
+                        hot["depth_grid"], guidance_scale, k_teach,
+                        scale_input=lambda x: x)
+                v_pred = jax.lax.stop_gradient(v_pred)
                 v = sch.velocity_target(acp, z_sg, noise, t)
                 w = (1 - acp[t]).reshape(-1, 1, 1, 1)
                 sqrt_acp = jnp.sqrt(acp[t]).reshape(-1, 1, 1, 1)
@@ -425,33 +578,89 @@ class ConTEXTure:
                              * jnp.abs(v_pred - v) ** 2)
             return params, opt_state, loss, grad_norm, fisher, grid
 
-        sds_step_jit = jax.jit(sds_step)
+        if mesh is None:
+            return jax.jit(sds_step), optimizer, hot
+
+        rep = NamedSharding(mesh, P())
+
+        def hot_sharding(x):
+            if not hasattr(x, "shape"):
+                return rep
+            if x.ndim == 4:  # canvas tensors: shard H (dim 2)
+                return NamedSharding(mesh, shard_spec(x, 2))
+            if x.ndim == 2 and x.shape[-1] == 2:  # uv points: shard rows
+                return NamedSharding(mesh, shard_spec(x, 0))
+            return rep
+
+        hot_sh = {
+            "cache6": jax.tree.map(lambda x: rep, hot["cache6"]),
+            "depth_grid": hot_sharding(hot["depth_grid"]),
+            "cond_lat_pair": hot_sharding(hot["cond_lat_pair"]),
+            "encoder_hidden_states": rep,
+            "zp_params": jax.tree.map(lambda x: rep, hot["zp_params"]),
+            "vae_params": jax.tree.map(lambda x: rep, hot["vae_params"]),
+            "uv_grid_pts": (hot_sharding(hot["uv_grid_pts"])
+                            if hot["uv_grid_pts"] is not None else None),
+            "mask_grid": (hot_sharding(hot["mask_grid"])
+                          if hot["mask_grid"] is not None else None),
+            "tile_probs": rep,
+        }
+        hot = jax.tree.map(jax.device_put, hot, hot_sh)
+        step = jax.jit(
+            sds_step,
+            in_shardings=(None, None, rep, rep, hot_sh),
+            out_shardings=None)
+        return step, optimizer, hot
+
+    def paint_zero123plus(self):
+        """The SDS texture loop (reference trainer.py:545-911)."""
+        logger.info("Starting SDS Texture Generation ^_^")
+        setup = self.prepare_sds()
+        mesh = self._make_mesh()
+        if mesh is not None:
+            logger.info(f"SDS step sharded over {mesh.shape} device mesh")
+        sds_step_jit, optimizer, hot = self._build_sds_step(setup, mesh)
+
+        iterations = self.cfg.optim.sds_iterations
+        acp = self.zero123plus.alphas_cumprod
+        t_schedule = sch.dreamtime_schedule(acp, iterations, m=500, s=125)
+
+        params = self.texture_params
+        opt_state = optimizer.init(params)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            params = jax.device_put(params, rep)
+            opt_state = jax.device_put(opt_state, rep)
 
         if os.environ.get("CTN_DUMP_SDS_MEM"):
             t0_ = jnp.asarray([500], jnp.int32)
             k0_ = jax.random.PRNGKey(0)
             comp = sds_step_jit.lower(
-                self.texture_params, opt_state, t0_, k0_, cache6, depth_grid,
-                cond_lat_pair, encoder_hidden_states, zero123plus.params,
-                vae_params).compile()
+                params, opt_state, t0_, k0_, hot).compile()
             ma = comp.memory_analysis()
             logger.info(
                 f"sds_step memory: temp {ma.temp_size_in_bytes/2**30:.2f} GB "
                 f"args {ma.argument_size_in_bytes/2**30:.2f} GB "
                 f"out {ma.output_size_in_bytes/2**30:.2f} GB")
 
-        # teacher jit warms inside first call
-        params = self.texture_params
+        # full-fidelity resume: params + opt_state + RNG key + iteration
         start_iter = 0
         if self.cfg.optim.resume:
             from contexture_nerf_tpu.core.checkpoint import latest_iteration
 
             latest = latest_iteration(self.ckpt_path)
             if latest is not None:
-                restored = self.load_checkpoint(latest)
+                restored = self._restore_checkpoint(latest, params, opt_state)
                 params = restored["params"]
+                if restored.get("opt_state") is not None:
+                    opt_state = restored["opt_state"]
+                if restored.get("rng_key") is not None:
+                    self.key = jnp.asarray(restored["rng_key"])
                 start_iter = int(restored["iteration"])
                 logger.info(f"Resumed from checkpoint iter {start_iter}")
+
         metrics_log = []
         ikl_running_avg = None
         t_schedule_np = np.asarray(t_schedule)
@@ -459,37 +668,43 @@ class ConTEXTure:
         for i in range(start_iter, iterations):
             self.key, sub = jax.random.split(self.key)
             t = jnp.asarray([int(t_schedule_np[i])], jnp.int32)
-            params, opt_state, loss, grad_norm, fisher, grid = sds_step_jit(
-                params, opt_state, t, sub, cache6, depth_grid,
-                cond_lat_pair, encoder_hidden_states, zero123plus.params,
-                vae_params)
+            with profiler.phase("sds_step"):
+                params, opt_state, loss, grad_norm, fisher, grid = \
+                    sds_step_jit(params, opt_state, t, sub, hot)
             if i % 50 == 0 or i == iterations - 1:
                 loss_f = float(loss)
                 fisher_f = float(fisher)
                 ikl_running_avg = (fisher_f if ikl_running_avg is None
                                    else 0.99 * ikl_running_avg
                                    + 0.01 * fisher_f)
-                metrics_log.append(
-                    {"iter": i, "sds_loss": loss_f,
-                     "grad_norm": float(grad_norm),
-                     "fisher_divergence_t": fisher_f,
-                     "ikl_running_avg": ikl_running_avg,
-                     "t": int(t_schedule_np[i]),
-                     "elapsed_s": time.time() - t0})
+                entry = {"iter": i, "sds_loss": loss_f,
+                         "grad_norm": float(grad_norm),
+                         "fisher_divergence_t": fisher_f,
+                         "ikl_running_avg": ikl_running_avg,
+                         "t": int(t_schedule_np[i]),
+                         "elapsed_s": time.time() - t0}
+                if i % 250 == 0 or i == iterations - 1:
+                    # cross-view color consistency (reference computes it with
+                    # weight 0 at trainer.py:856-863; logged here as a metric)
+                    entry["view_consistency"] = float(
+                        self._view_consistency_metric(params))
+                metrics_log.append(entry)
                 logger.info(f"iter {i}: sds_loss={loss_f:.4f} "
                             f"t={int(t_schedule_np[i])} "
                             f"grad_norm={float(grad_norm):.4g}")
                 if self._wandb is not None:
                     self._wandb.log(metrics_log[-1])
-            if (i % 10 == 0 and i < 1000 and self.cfg.log.log_images) or \
-                    (i % 100 == 0 and self.cfg.log.log_images):
-                if i % 500 == 0:
-                    self.log_texture_map(params, i)
-                    self.log_train_image(
-                        (unscale_image(grid) + 1) / 2,
-                        f"rendered_grid_clean_{i}")
-            if i % 1000 == 0 and i > 0:
-                self.save_checkpoint(params, opt_state, i)
+            if self.cfg.log.log_images and \
+                    ((i % 10 == 0 and i < 1000) or i % 100 == 0):
+                # reference image cadence (trainer.py:902-904)
+                self.log_texture_map(params, i)
+                self.log_train_image(
+                    (unscale_image(grid) + 1) / 2,
+                    f"rendered_grid_clean_{i}")
+            interval = self.cfg.optim.checkpoint_interval
+            if (i + 1) % interval == 0 and (i + 1) < iterations:
+                self.texture_params = params
+                self.save_checkpoint(params, opt_state, i + 1)
 
         self.texture_params = params
         (self.exp_path / "metrics.json").write_text(
@@ -498,6 +713,38 @@ class ConTEXTure:
         self._median_eval = True  # change_default_to_median (trainer.py:909)
         logger.info("Finished SDS Painting ^_^")
         self.full_eval()
+        profiler.GLOBAL_TIMINGS.dump(self.exp_path / "timings.json")
+
+    def _view_consistency_metric(self, params) -> jnp.ndarray:
+        """Render the 6 target views at reduced resolution with the current
+        texture and compute the cross-view consistency score
+        (reference compute_view_consistency, trainer.py:429-531)."""
+        if not hasattr(self, "_consistency_jit"):
+            dims = min(192, self.cfg.render.train_grid_size)
+            cache = jax.jit(partial(self.mesh_model.render_geometry,
+                                    dims=(dims, dims)))(
+                jnp.asarray(self.thetas[1:], jnp.float32),
+                jnp.asarray(self.phis[1:], jnp.float32),
+                jnp.asarray(self.radii[1:], jnp.float32))
+            model = self.mesh_model
+            n_verts = int(model.faces.max()) + 1
+
+            def f(p, cache):
+                V, H, W = cache.face_idx.shape
+                uv = cache.uv_features.reshape(-1, 2)
+                rgb = model.query_texture_at_uv(p, uv, allow_fused=False)
+                imgs = jnp.transpose(rgb.reshape(V, H, W, 3), (0, 3, 1, 2))
+                imgs = imgs * cache.mask + 0.5 * (1 - cache.mask)
+                from contexture_nerf_tpu.ops.view_consistency import (
+                    compute_view_consistency)
+
+                return compute_view_consistency(
+                    imgs, model.faces, cache.face_idx,
+                    cache.face_vertices_image, n_vertices=n_verts)
+
+            self._consistency_cache = cache
+            self._consistency_jit = jax.jit(f)
+        return self._consistency_jit(params, self._consistency_cache)
 
     def compute_view_consistency(self, rendered_views, render_cache):
         """Cross-view color-consistency metric (reference trainer.py:429-531;
@@ -648,31 +895,46 @@ class ConTEXTure:
 
     def full_eval(self, output_dir: Optional[Path] = None):
         output_dir = output_dir or self.final_renders_path
-        self.evaluate(self.dataloaders["val_large"], output_dir,
-                      save_as_video=True)
+        with profiler.phase("eval"):
+            self.evaluate(self.dataloaders["val_large"], output_dir,
+                          save_as_video=True)
         if self.cfg.log.save_mesh:
             save_path = make_path(self.exp_path / "mesh")
             logger.info(f"Saving mesh to {save_path}")
-            self.mesh_model.export_mesh(save_path, self.texture_params)
+            with profiler.phase("export"):
+                self.mesh_model.export_mesh(save_path, self.texture_params)
             logger.info("\t Full Eval Done!")
 
-    # -- checkpointing (new capability; SURVEY.md §5) ------------------------------
+    # -- checkpointing (new capability; SURVEY.md §5: the reference creates an
+    # always-empty checkpoints/ dir, trainer.py:118) --------------------------
 
     def save_checkpoint(self, params, opt_state, iteration: int):
-        import orbax.checkpoint as ocp
+        """Full-fidelity snapshot: params + optimizer state + RNG key +
+        iteration, so a resumed run is bit-identical to an uninterrupted
+        one (tests/test_e2e.py::test_resume_matches_uninterrupted)."""
+        from contexture_nerf_tpu.core import checkpoint as ckpt
 
-        path = (self.ckpt_path / f"iter_{iteration:06d}").absolute()
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, {"params": params, "iteration": iteration},
-                   force=True)
-        ckptr.wait_until_finished()
+        ckpt.save(self.ckpt_path / f"iter_{iteration:06d}", params,
+                  opt_state=opt_state, iteration=iteration,
+                  rng_key=self.key)
+
+    def _restore_checkpoint(self, iteration: int, params_like, opt_state_like):
+        """Typed restore (optax NamedTuple states need a structure target);
+        falls back to the untyped payload for older/partial checkpoints."""
+        from contexture_nerf_tpu.core import checkpoint as ckpt
+
+        path = self.ckpt_path / f"iter_{iteration:06d}"
+        target = {"params": params_like, "opt_state": opt_state_like,
+                  "iteration": 0, "rng_key": np.asarray(self.key)}
+        try:
+            return ckpt.restore(path, target)
+        except Exception:
+            return ckpt.restore(path)
 
     def load_checkpoint(self, iteration: int):
-        import orbax.checkpoint as ocp
+        from contexture_nerf_tpu.core import checkpoint as ckpt
 
-        path = (self.ckpt_path / f"iter_{iteration:06d}").absolute()
-        ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(path)
+        restored = ckpt.restore(self.ckpt_path / f"iter_{iteration:06d}")
         self.texture_params = restored["params"]
         return restored
 

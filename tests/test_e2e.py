@@ -97,6 +97,48 @@ def test_full_pipeline_tiny_exact_lattice(sphere_obj, tmp_path):
     assert (Path(cfg.log.exp_dir) / "metrics.json").exists()
 
 
+def test_resume_matches_uninterrupted(sphere_obj, tmp_path):
+    """A run interrupted at iter 2 and resumed must produce the same final
+    params and metrics as the uninterrupted run (full-fidelity checkpoints:
+    params + opt_state + RNG key; reference has none, SURVEY.md §5)."""
+    import json
+    import shutil
+
+    from contexture_nerf_tpu.training.trainer import ConTEXTure
+
+    cfg = _tiny_cfg(sphere_obj, tmp_path, iters=4)
+    cfg.log.exp_name = "e2e_resume_eq"
+    cfg.log.save_mesh = False
+    cfg.log.full_eval_size = 1
+    cfg.optim.checkpoint_interval = 2
+    trainer_a = ConTEXTure(cfg, tiny_models=True, backend="xla")
+    trainer_a.paint()
+    params_a = jax.tree.leaves(trainer_a.texture_params)
+    metrics_a = json.loads((Path(cfg.log.exp_dir) / "metrics.json")
+                           .read_text())
+
+    # simulate the interruption: drop the final checkpoint, keep iter 2
+    exp = Path(cfg.log.exp_dir)
+    shutil.rmtree(exp / "checkpoints" / "iter_000004")
+    assert (exp / "checkpoints" / "iter_000002").exists()
+
+    cfg.optim.resume = True
+    trainer_b = ConTEXTure(cfg, tiny_models=True, backend="xla")
+    trainer_b.paint()  # replays iterations 2..3 from the checkpoint
+    params_b = jax.tree.leaves(trainer_b.texture_params)
+    metrics_b = json.loads((exp / "metrics.json").read_text())
+
+    for a, b in zip(params_a, params_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    last_a = [m for m in metrics_a if m["iter"] == 3][0]
+    last_b = [m for m in metrics_b if m["iter"] == 3][0]
+    for k in ("sds_loss", "grad_norm", "fisher_divergence_t", "t",
+              "view_consistency"):
+        np.testing.assert_allclose(last_a[k], last_b[k], rtol=1e-6,
+                                   err_msg=k)
+
+
 def test_resume_from_checkpoint(sphere_obj, tmp_path):
     from contexture_nerf_tpu.core import checkpoint as ckpt
     from contexture_nerf_tpu.training.trainer import ConTEXTure

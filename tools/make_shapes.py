@@ -60,6 +60,108 @@ def torus(R=0.7, r=0.3, n_major=48, n_minor=24):
     return verts, np.asarray(faces, np.int64), uvs, np.asarray(faces, np.int64)
 
 
+def ellipsoid(scale=(1.0, 1.0, 1.0), offset=(0.0, 0.0, 0.0),
+              n_lat=16, n_lon=24):
+    v, f, vt, ft = uv_sphere(n_lat, n_lon)
+    v = v * np.asarray(scale, np.float32) + np.asarray(offset, np.float32)
+    return v, f, vt, ft
+
+
+def box(size=(1.0, 1.0, 1.0), offset=(0.0, 0.0, 0.0)):
+    """Axis-aligned box with per-face-quad UVs."""
+    sx, sy, sz = np.asarray(size, np.float32) / 2
+    ox, oy, oz = offset
+    corners = np.array([[x, y, z] for x in (-sx, sx) for y in (-sy, sy)
+                        for z in (-sz, sz)], np.float32)
+    corners += np.asarray([ox, oy, oz], np.float32)
+    quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1), (2, 3, 7, 6),
+             (0, 2, 6, 4), (1, 5, 7, 3)]
+    verts, uvs, faces = [], [], []
+    uv_quad = [(0.05, 0.05), (0.95, 0.05), (0.95, 0.95), (0.05, 0.95)]
+    for q in quads:
+        base = len(verts)
+        for k, vi in enumerate(q):
+            verts.append(corners[vi])
+            uvs.append(uv_quad[k])
+        faces.append((base, base + 1, base + 2))
+        faces.append((base, base + 2, base + 3))
+    faces = np.asarray(faces, np.int64)
+    return (np.asarray(verts, np.float32), faces,
+            np.asarray(uvs, np.float32), faces.copy())
+
+
+def merge(*meshes):
+    """Concatenate (verts, faces, vt, ft) meshes with index offsetting."""
+    verts, faces, vts, fts = [], [], [], []
+    vo = to = 0
+    for v, f, vt, ft in meshes:
+        verts.append(v)
+        faces.append(f + vo)
+        vts.append(vt)
+        fts.append(ft + to)
+        vo += v.shape[0]
+        to += vt.shape[0]
+    return (np.concatenate(verts), np.concatenate(faces),
+            np.concatenate(vts), np.concatenate(fts))
+
+
+# Procedural STAND-INS for the reference's binary mesh assets
+# (/root/reference/shapes/*.obj: spot, bunny, nascar, human are binaries or
+# git-LFS-missing there; this repo stays source-only). Geometry is schematic —
+# drop real .obj files into shapes/ to reproduce the reference exactly.
+STANDINS = {
+    "sphere": lambda: uv_sphere(24, 48),
+    "env_sphere": lambda: uv_sphere(16, 32, radius=10.0, invert=True),
+    "torus": lambda: torus(),
+    # dairy-cow stand-in: stretched body + head + 4 leg boxes
+    "spot_triangulated": lambda: merge(
+        ellipsoid((1.0, 0.55, 0.45)),
+        ellipsoid((0.32, 0.28, 0.25), (0.95, 0.35, 0.0), n_lat=10, n_lon=14),
+        *[box((0.14, 0.7, 0.14), (x, -0.6, z))
+          for x in (-0.55, 0.55) for z in (-0.22, 0.22)]),
+    "spot": lambda: STANDINS["spot_triangulated"](),
+    # bust stand-in: torso + head + hat brim
+    "napoleon": lambda: merge(
+        ellipsoid((0.55, 0.7, 0.4), (0.0, -0.5, 0.0)),
+        ellipsoid((0.3, 0.38, 0.3), (0.0, 0.35, 0.0)),
+        box((0.75, 0.1, 0.45), (0.0, 0.72, 0.0))),
+    # stock-car stand-in: chassis + cabin + 4 wheels
+    "nascar": lambda: merge(
+        box((2.0, 0.4, 0.9)),
+        box((1.0, 0.35, 0.8), (-0.1, 0.37, 0.0)),
+        *[ellipsoid((0.22, 0.22, 0.1), (x, -0.25, z), n_lat=8, n_lon=12)
+          for x in (-0.65, 0.65) for z in (-0.48, 0.48)]),
+    # rabbit stand-in: body + head + two ears
+    "bunny": lambda: merge(
+        ellipsoid((0.55, 0.45, 0.5)),
+        ellipsoid((0.3, 0.3, 0.3), (0.35, 0.45, 0.0), n_lat=10, n_lon=14),
+        ellipsoid((0.07, 0.35, 0.1), (0.25, 0.95, -0.12), n_lat=6, n_lon=8),
+        ellipsoid((0.07, 0.35, 0.1), (0.25, 0.95, 0.12), n_lat=6, n_lon=8)),
+    # humanoid stand-in: torso + head + limbs
+    "human": lambda: merge(
+        ellipsoid((0.35, 0.6, 0.22)),
+        ellipsoid((0.18, 0.22, 0.18), (0.0, 0.85, 0.0), n_lat=10, n_lon=14),
+        *[box((0.12, 0.75, 0.12), (x, -1.0, 0.0)) for x in (-0.18, 0.18)],
+        *[box((0.1, 0.6, 0.1), (x, 0.2, 0.0)) for x in (-0.48, 0.48)]),
+}
+
+
+def ensure_shape(path) -> bool:
+    """Generate a procedural stand-in for a known shape name if the file is
+    missing (keeps the shipped configs/text_guided/*.yaml runnable without
+    binary assets). Returns True if the file exists afterwards."""
+    p = Path(path)
+    if p.exists():
+        return True
+    maker = STANDINS.get(p.stem)
+    if maker is None:
+        return False
+    p.parent.mkdir(parents=True, exist_ok=True)
+    write_obj(p, *maker())
+    print(f"generated procedural stand-in mesh {p}")
+    return True
+
+
 def write_obj(path, verts, faces, vt=None, ft=None):
     with open(path, "w") as f:
         for v in verts:
