@@ -178,13 +178,19 @@ class StableDiffusionDepth:
     # -- img2img --------------------------------------------------------------
 
     def _build_img2img(self, num_inference_steps: int, image_size: int,
-                       use_inpaint: bool, use_latent_blending: bool):
-        """Compile the full denoise loop once per static signature."""
+                       use_inpaint: bool, use_latent_blending: bool,
+                       intermediate_vis: bool = False):
+        """Compile the full denoise loop once per static signature.
+        intermediate_vis additionally decodes ~10 evenly-spaced intermediate
+        latents from the scan (reference stable_diffusion_depth.py:501-511
+        collects PIL frames per step; here the frames come out of the same
+        jitted graph)."""
         pndm = self.scheduler
         timesteps = pndm.timesteps(num_inference_steps)
         vae_down = 2 ** (len(self.vae_config.block_out_channels) - 1)
         lat_sz = image_size // vae_down
         inpaint_on = use_inpaint and self.inpaint_unet is not None
+        n_vis = min(10, int(timesteps.shape[0]))
 
         def run(params, text_embeddings, rgb, depth, update_mask,
                 guidance_scale, key):
@@ -250,12 +256,19 @@ class StableDiffusionDepth:
 
                 state, latents = pndm.step(state, noise_pred, t, latents,
                                            num_inference_steps)
-                return (latents, state), None
+                ys = latents if intermediate_vis else None
+                return (latents, state), ys
 
             idx = jnp.arange(timesteps.shape[0])
-            (latents, _), _ = jax.lax.scan(step_fn, (latents, state),
-                                           (timesteps, idx))
-            return self.decode_latents(latents), latents
+            (latents, _), inters = jax.lax.scan(step_fn, (latents, state),
+                                                (timesteps, idx))
+            if intermediate_vis:
+                sel = np.linspace(0, timesteps.shape[0] - 1,
+                                  n_vis).astype(np.int32)
+                inter_imgs = jax.lax.map(self.decode_latents, inters[sel])
+            else:
+                inter_imgs = jnp.zeros((0,))
+            return self.decode_latents(latents), latents, inter_imgs
 
         return jax.jit(run)
 
@@ -279,14 +292,16 @@ class StableDiffusionDepth:
             update_mask = jax.image.resize(
                 update_mask, (1, 1, image_size, image_size), method="nearest")
         sig = (num_inference_steps, image_size, self.use_inpaint,
-               use_latent_blending)
+               use_latent_blending, intermediate_vis)
         if sig not in self._jit_cache:
             self._jit_cache[sig] = self._build_img2img(*sig)
         key = jax.random.PRNGKey(0 if fixed_seed is None else fixed_seed)
-        img, latents = self._jit_cache[sig](
+        img, latents, inter_imgs = self._jit_cache[sig](
             self.params, text_embeddings, rgb, depth_mask,
             update_mask, jnp.asarray(guidance_scale, jnp.float32), key)
-        return img, []
+        intermediates = ([inter_imgs[i] for i in range(inter_imgs.shape[0])]
+                         if intermediate_vis else [])
+        return img, intermediates
 
     def img2img_single_step(self, text_embeddings, prev_latents, depth_mask,
                             step: int, guidance_scale: float = 100.0,

@@ -130,36 +130,6 @@ def _bwd_kernel(multires, uv_ref, g_ref, *rest):
                                         preferred_element_type=jnp.float32)
 
 
-def _pad_params(params, multires: int):
-    """flax NeRF2D params -> padded (weights, biases) lists (f32)."""
-    p = params["params"]
-    emb_dim = 2 + 4 * multires
-    ws, bs = [], []
-    for i in range(_DEPTH):
-        k = np.asarray(p[f"pts_linear_{i}"]["kernel"], np.float32)
-        b = np.asarray(p[f"pts_linear_{i}"]["bias"], np.float32)
-        if i == 0:
-            kp = np.zeros((_EMB_PAD, _W), np.float32)
-            kp[:emb_dim] = k
-        elif i == _SKIP + 1:
-            kp = np.zeros((_EMB_PAD + _W, _W), np.float32)
-            kp[:emb_dim] = k[:emb_dim]  # embedding rows
-            kp[_EMB_PAD:] = k[emb_dim:]  # hidden rows
-        else:
-            kp = k
-        ws.append(jnp.asarray(kp))
-        bs.append(jnp.asarray(b[None]))
-    k = np.asarray(p["output_linear"]["kernel"], np.float32)
-    b = np.asarray(p["output_linear"]["bias"], np.float32)
-    kp = np.zeros((_W, _OUT_PAD), np.float32)
-    kp[:, :3] = k
-    bp = np.zeros((1, _OUT_PAD), np.float32)
-    bp[0, :3] = b
-    ws.append(jnp.asarray(kp))
-    bs.append(jnp.asarray(bp))
-    return ws, bs
-
-
 def _unpad_grads(dws, dbs, multires: int, like_params):
     emb_dim = 2 + 4 * multires
     p = {}
@@ -244,7 +214,7 @@ def fused_nerf2d(params, uv, multires: int = 10, interpret: bool = False):
 
 
 def _pad_params_traced(params, multires: int):
-    """Traced (jit-safe) version of _pad_params."""
+    """flax NeRF2D params -> padded (weights, biases) lists (f32), traced."""
     p = params["params"]
     emb_dim = 2 + 4 * multires
     ws, bs = [], []

@@ -798,12 +798,18 @@ class ConTEXTure:
         self.diffusion.use_inpaint = (self.cfg.guide.use_inpainting
                                       and self.paint_step > 1)
         start = time.perf_counter()
-        cropped_rgb_output, _ = self.diffusion.img2img_step(
+        cropped_rgb_output, steps_vis = self.diffusion.img2img_step(
             text_z, cropped_rgb, cropped_depth,
             guidance_scale=self.cfg.guide.guidance_scale,
             strength=1.0, update_mask=cropped_mask,
-            fixed_seed=self.cfg.optim.seed)
+            fixed_seed=self.cfg.optim.seed,
+            intermediate_vis=self.cfg.log.vis_diffusion_steps)
         logger.info(f"img2img elapsed: {time.perf_counter() - start:.2f}s")
+        # intermediate denoise frames (reference log_diffusion_steps,
+        # trainer.py:1179-1185)
+        for k, frame in enumerate(steps_vis):
+            self.log_train_image(
+                frame, f"diffusion_step_{self.paint_step}_{k:02d}")
 
         # paste the generated crop back into the full frame
         cropped_rgb_output = resize_bilinear(cropped_rgb_output,

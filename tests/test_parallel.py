@@ -74,3 +74,42 @@ def test_shard_leading_axis_placement(mesh8):
     placed = shard_leading_axis(tree, mesh8)
     assert placed["a"].sharding.spec == P("views")
     assert placed["b"].sharding.spec == P()
+
+
+def test_tensor_parallel_teacher_matches_replicated(mesh8):
+    """TP-sharded UNet params (QKV/MLP column-parallel, out-proj row-parallel,
+    conv out-channels) produce the same teacher v-prediction as replicated
+    params — GSPMD shardings change layout, not math."""
+    import jax.numpy as jnp
+
+    from contexture_nerf_tpu.diffusion.zero123plus import Zero123PlusPipeline
+    from contexture_nerf_tpu.parallel.tp import shard_params_tp, tp_param_specs
+
+    pipe = Zero123PlusPipeline(tiny=True, seed=0)
+    key = jax.random.PRNGKey(1)
+    lat = jax.random.normal(key, (1, 4, 24, 16)) * 0.3
+    t = jnp.asarray([300], jnp.int32)
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 8, 8)) * 0.2
+    ehs = jax.random.normal(jax.random.PRNGKey(3),
+                            (2, 77, pipe.text_config.hidden_size)) * 0.02
+    depth = jnp.zeros((1, 3, 24 * 8, 16 * 8))
+
+    def f(params):
+        return pipe._cfg_v_pred(params, lat, t, cond, ehs, depth, 5.0,
+                                key, scale_input=lambda x: x)
+
+    baseline = jax.jit(f)(pipe.params)
+
+    tp_mesh = create_mesh((8,), ("tp",))
+    specs = tp_param_specs(pipe.params, tp_mesh)
+    # at least some leaves actually shard over tp
+    sharded_leaves = [s for s in jax.tree.leaves(
+        specs, is_leaf=lambda x: isinstance(x, jax.sharding.NamedSharding))
+        if "tp" in str(s.spec)]
+    assert sharded_leaves, "no parameter picked up a tp sharding"
+
+    with tp_mesh:
+        tp_params = shard_params_tp(pipe.params, tp_mesh)
+        out = jax.jit(f, in_shardings=(specs,))(tp_params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(baseline),
+                               rtol=2e-4, atol=2e-5)
