@@ -14,7 +14,6 @@ Design notes:
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -19,9 +19,8 @@ concept loading is accepted but requires a local embedding file.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,6 @@ Grid geometry: 3x2 tiles of 320 px -> 960x640 canvas, 120x80 latent
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -239,7 +239,8 @@ class TexturedMeshModel:
                                 multires=self.multires)
 
     def query_texture_at_uv(self, params, uv: jnp.ndarray,
-                            allow_fused: bool = True) -> jnp.ndarray:
+                            allow_fused: bool = True,
+                            compute_dtype=jnp.float32) -> jnp.ndarray:
         """Direct MLP query at arbitrary UVs (N,2) -> (N,3) colors in [0,1]
         (bypasses the lattice) — the TPU-preferred render path. Uses the
         fused Pallas kernel on TPU (VMEM-resident activations);
@@ -253,7 +254,8 @@ class TexturedMeshModel:
         if use_fused:
             from contexture_nerf_tpu.ops.mlp_kernel import fused_nerf2d
 
-            out = fused_nerf2d(params, uv, self.multires)
+            out = fused_nerf2d(params, uv, self.multires,
+                               compute_dtype=compute_dtype)
         else:
             out = self.texture_mlp.apply(
                 params, fourier_embed(uv, multires=self.multires))

@@ -36,6 +36,14 @@ _OUT_PAD = 8  # 3 output channels padded (sublane multiple; a
 # 128-lane pad would cost 42x the payload in HBM for g/out buffers)
 
 
+def _dot(a, b, dims, cdt):
+    """MXU matmul with f32 accumulation; operands cast to the compute dtype
+    (bf16 runs the MXU at native rate — f32 matmuls decompose into multiple
+    slower passes on TPU)."""
+    return jax.lax.dot_general(a.astype(cdt), b.astype(cdt), dims,
+                               preferred_element_type=jnp.float32)
+
+
 def _embed_block(uv, multires: int):
     """Fourier embedding of (BLK, 2) uv -> (BLK, EMB_PAD) zero-padded."""
     outs = [uv]
@@ -49,37 +57,33 @@ def _embed_block(uv, multires: int):
         [emb, jnp.zeros((emb.shape[0], pad), emb.dtype)], axis=-1)
 
 
-def _forward_block(uv, w_refs, b_refs, multires: int):
+def _forward_block(uv, w_refs, b_refs, multires: int, cdt):
     """Returns (out (BLK, OUT_PAD), activations list for backward)."""
     emb = _embed_block(uv, multires)
     acts = [emb]
     h = emb
     for i in range(_DEPTH):
-        pre = jax.lax.dot_general(h, w_refs[i][...],
-                                  (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+        pre = _dot(h, w_refs[i][...], (((1,), (0,)), ((), ())), cdt)
         pre = pre + b_refs[i][...]
         h = jnp.maximum(pre, 0.0)
         if i == _SKIP:
             h = jnp.concatenate([emb, h], axis=-1)  # (BLK, 384)
         acts.append(h)
-    out = jax.lax.dot_general(h, w_refs[_DEPTH][...],
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+    out = _dot(h, w_refs[_DEPTH][...], (((1,), (0,)), ((), ())), cdt)
     out = out + b_refs[_DEPTH][...]
     return out, acts
 
 
-def _fwd_kernel(multires, uv_ref, *rest):
+def _fwd_kernel(multires, cdt, uv_ref, *rest):
     w_refs = rest[:_DEPTH + 1]
     b_refs = rest[_DEPTH + 1:2 * (_DEPTH + 1)]
     out_ref = rest[2 * (_DEPTH + 1)]
     uv = uv_ref[...].astype(jnp.float32)
-    out, _ = _forward_block(uv, w_refs, b_refs, multires)
+    out, _ = _forward_block(uv, w_refs, b_refs, multires, cdt)
     out_ref[...] = out
 
 
-def _bwd_kernel(multires, uv_ref, g_ref, *rest):
+def _bwd_kernel(multires, cdt, uv_ref, g_ref, *rest):
     w_refs = rest[:_DEPTH + 1]
     b_refs = rest[_DEPTH + 1:2 * (_DEPTH + 1)]
     n = 2 * (_DEPTH + 1)
@@ -97,17 +101,13 @@ def _bwd_kernel(multires, uv_ref, g_ref, *rest):
 
     uv = uv_ref[...].astype(jnp.float32)
     g = g_ref[...].astype(jnp.float32)  # (BLK, OUT_PAD)
-    out, acts = _forward_block(uv, w_refs, b_refs, multires)
+    out, acts = _forward_block(uv, w_refs, b_refs, multires, cdt)
 
     # output layer
     h_last = acts[-1]
-    dw_refs[_DEPTH][...] += jax.lax.dot_general(
-        h_last, g, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    dw_refs[_DEPTH][...] += _dot(h_last, g, (((0,), (0,)), ((), ())), cdt)
     db_refs[_DEPTH][...] += jnp.sum(g, axis=0, keepdims=True)
-    delta = jax.lax.dot_general(g, w_refs[_DEPTH][...],
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+    delta = _dot(g, w_refs[_DEPTH][...], (((1,), (1,)), ((), ())), cdt)
 
     for i in range(_DEPTH - 1, -1, -1):
         h_in = acts[i]
@@ -120,14 +120,11 @@ def _bwd_kernel(multires, uv_ref, g_ref, *rest):
         else:
             mask = (h_out > 0).astype(jnp.float32)
         delta = delta * mask
-        dw_refs[i][...] += jax.lax.dot_general(
-            h_in, delta, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        dw_refs[i][...] += _dot(h_in, delta, (((0,), (0,)), ((), ())), cdt)
         db_refs[i][...] += jnp.sum(delta, axis=0, keepdims=True)
         if i > 0:
-            delta = jax.lax.dot_general(delta, w_refs[i][...],
-                                        (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
+            delta = _dot(delta, w_refs[i][...], (((1,), (1,)), ((), ())),
+                         cdt)
 
 
 def _unpad_grads(dws, dbs, multires: int, like_params):
@@ -155,14 +152,14 @@ def _pad_points(uv):
     return uv, N, N + pad
 
 
-def _run_forward(ws, bs, uv, multires, interpret):
+def _run_forward(ws, bs, uv, multires, interpret, cdt):
     uvp, N, Np = _pad_points(uv)
     w_specs = [pl.BlockSpec(w.shape, lambda i: (0, 0),
                             memory_space=pltpu.VMEM) for w in ws]
     b_specs = [pl.BlockSpec(b.shape, lambda i: (0, 0),
                             memory_space=pltpu.VMEM) for b in bs]
     out = pl.pallas_call(
-        partial(_fwd_kernel, multires),
+        partial(_fwd_kernel, multires, cdt),
         grid=(Np // _BLK,),
         in_specs=[pl.BlockSpec((_BLK, 2), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] + w_specs + b_specs,
@@ -174,7 +171,7 @@ def _run_forward(ws, bs, uv, multires, interpret):
     return out[:N, :3]
 
 
-def _run_backward(ws, bs, uv, g, multires, interpret):
+def _run_backward(ws, bs, uv, g, multires, interpret, cdt):
     uvp, N, Np = _pad_points(uv)
     gp = jnp.zeros((Np, _OUT_PAD), jnp.float32).at[:N, :3].set(g)
     w_specs = [pl.BlockSpec(w.shape, lambda i: (0, 0),
@@ -188,7 +185,7 @@ def _run_backward(ws, bs, uv, g, multires, interpret):
                  + [pl.BlockSpec(b.shape, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM) for b in bs])
     outs = pl.pallas_call(
-        partial(_bwd_kernel, multires),
+        partial(_bwd_kernel, multires, cdt),
         grid=(Np // _BLK,),
         in_specs=[pl.BlockSpec((_BLK, 2), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -204,13 +201,17 @@ def _run_backward(ws, bs, uv, g, multires, interpret):
     return dws, dbs
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def fused_nerf2d(params, uv, multires: int = 10, interpret: bool = False):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_nerf2d(params, uv, multires: int = 10, interpret: bool = False,
+                 compute_dtype=jnp.float32):
     """Fused embed+MLP forward: params (flax NeRF2D tree), uv (N,2) ->
     raw mlp output (N,3). Differentiable w.r.t. params (uv is treated as a
-    constant lattice, matching the pipeline's use)."""
+    constant lattice, matching the pipeline's use). compute_dtype=bfloat16
+    runs the matmuls at the MXU's native rate with f32 accumulation (the SDS
+    hot path uses this; the reference runs its whole loop under fp16
+    autocast, stable_diffusion_depth.py:330)."""
     ws, bs = _pad_params_traced(params, multires)
-    return _run_forward(ws, bs, uv, multires, interpret)
+    return _run_forward(ws, bs, uv, multires, interpret, compute_dtype)
 
 
 def _pad_params_traced(params, multires: int):
@@ -237,16 +238,16 @@ def _pad_params_traced(params, multires: int):
     return ws, bs
 
 
-def _fused_fwd(params, uv, multires, interpret):
-    out = fused_nerf2d(params, uv, multires, interpret)
+def _fused_fwd(params, uv, multires, interpret, compute_dtype):
+    out = fused_nerf2d(params, uv, multires, interpret, compute_dtype)
     return out, (params, uv)
 
 
-def _fused_bwd(multires, interpret, res, g):
+def _fused_bwd(multires, interpret, compute_dtype, res, g):
     params, uv = res
     ws, bs = _pad_params_traced(params, multires)
     dws, dbs = _run_backward(ws, bs, uv, g.astype(jnp.float32), multires,
-                             interpret)
+                             interpret, compute_dtype)
     dparams = _unpad_grads(dws, dbs, multires, params)
     return dparams, jnp.zeros_like(uv)
 

@@ -505,8 +505,12 @@ class ConTEXTure:
                          for i in range(6)]
                 grid = merge_6_to_grid(jnp.concatenate(tiles, axis=0))
             else:
+                # student compute runs in the diffusion stack's dtype (bf16
+                # full-size; the reference runs its loop under fp16 autocast,
+                # stable_diffusion_depth.py:330) — MXU-native matmuls
                 rgb = mesh_model.query_texture_at_uv(
-                    params, hot["uv_grid_pts"], allow_fused=(mesh is None))
+                    params, hot["uv_grid_pts"], allow_fused=(mesh is None),
+                    compute_dtype=zero123plus.dtype)
                 mlp_out = rgb
                 grid = jnp.transpose(
                     rgb.reshape(grid_hw[0], grid_hw[1], 3),
@@ -519,13 +523,12 @@ class ConTEXTure:
 
             from contexture_nerf_tpu.diffusion.vae import sample_gaussian
 
-            # remat the encoder: storing its conv/norm activations for the
-            # backward costs ~5 GB at 960x640 (measured); recompute instead
-            def encode(vp, g, k):
-                mean, logvar = vae.apply(vp, g, method=vae.encode_moments)
-                return sample_gaussian(mean, logvar, k)
-
-            z = jax.checkpoint(encode)(hot["vae_params"], grid, key) * \
+            # activation memory is bounded by the VAE's own per-block remat
+            # (vae.py:71-75); wrapping the whole encoder in a second
+            # jax.checkpoint would recompute the forward twice over
+            mean, logvar = vae.apply(hot["vae_params"], grid,
+                                     method=vae.encode_moments)
+            z = sample_gaussian(mean, logvar, key) * \
                 zero123plus.vae_config.scaling_factor
             z = constrain(z, 2)
             return scale_latents(z), grid, mlp_out

@@ -5,13 +5,10 @@ canonical views, crops/pads/resizes to 320^2, and writes per-prompt PNGs.
 Retries each experiment a bounded number of times (the reference's loop
 retries forever; bounded here so batch jobs terminate)."""
 
-import sys
-import tempfile
 import traceback
 from pathlib import Path
 
 import numpy as np
-import yaml
 
 SURVEY = [
     ("shapes/spot_triangulated.obj", "a photo of a dairy cow"),

@@ -7,7 +7,6 @@ import itertools
 import subprocess
 import sys
 import tempfile
-from pathlib import Path
 
 import yaml
 

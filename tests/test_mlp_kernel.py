@@ -39,3 +39,33 @@ def test_fused_handles_nonmultiple_block():
     ref = mlp.apply(params, fourier_embed(uv, 10))
     out = fused_nerf2d(params, uv, 10, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_bf16_compute_close_to_f32():
+    """bf16 compute_dtype (the SDS hot-path mode) stays within bf16 rounding
+    of the f32 reference, forward and backward."""
+    mlp = NeRF2D(input_ch=embedder_out_dim(10))
+    params = jax.jit(mlp.init)(jax.random.PRNGKey(0), jnp.zeros((1, 42)))
+    uv = jax.random.uniform(jax.random.PRNGKey(1), (512, 2))
+
+    ref = mlp.apply(params, fourier_embed(uv, 10))
+    out = fused_nerf2d(params, uv, 10, True, jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=0.05, rtol=0.05)
+
+    def loss_ref(p):
+        return jnp.sum(jnp.tanh(mlp.apply(p, fourier_embed(uv, 10))) ** 2)
+
+    def loss_bf16(p):
+        return jnp.sum(jnp.tanh(fused_nerf2d(p, uv, 10, True,
+                                             jnp.bfloat16)) ** 2)
+
+    g_ref = jax.grad(loss_ref)(params)
+    g_b = jax.grad(loss_bf16)(params)
+    # gradients correlate strongly (cosine > 0.99) even at bf16 precision
+    va = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree.leaves(g_ref)])
+    vb = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree.leaves(g_b)])
+    cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb) + 1e-12))
+    assert cos > 0.99, cos
