@@ -101,6 +101,68 @@ def color_with_shade(color: List[float], z_normals: jnp.ndarray,
     return jnp.asarray(color).reshape(1, 3, 1, 1) * normals_with_light
 
 
+def smooth_image(img: jnp.ndarray, sigma: float,
+                 kernel_size: int = 51) -> jnp.ndarray:
+    """Gaussian blur of a (C,H,W) image (reference smooth_image,
+    utils.py:86-89: GaussianBlur(51, sigma))."""
+    return gaussian_blur(img[:, None], kernel_size, sigma)[:, 0]
+
+
+def save_colormap(arr: np.ndarray, path) -> None:
+    """Save a (H,W) scalar map through the seismic colormap (reference
+    save_colormap, utils.py:69-70); falls back to a grayscale PNG when
+    matplotlib is unavailable."""
+    from PIL import Image
+
+    arr = np.asarray(arr, np.float32)
+    try:
+        from matplotlib import cm
+
+        rgb = (cm.seismic(arr)[:, :, :3] * 255).astype(np.uint8)
+    except ImportError:
+        g = np.clip(arr, 0.0, 1.0)
+        rgb = np.stack([(g * 255).astype(np.uint8)] * 3, axis=-1)
+    Image.fromarray(rgb).save(path)
+
+
+def get_nonzero_region_vectorized(masks: np.ndarray) -> np.ndarray:
+    """Batched square-bbox-with-margin (reference
+    get_nonzero_region_vectorized, utils.py:140-181). masks: (B,H,W) host
+    arrays -> (B,4) int [min_h, min_w, max_h, max_w]."""
+    masks = np.asarray(masks)
+    return np.stack([np.asarray(get_nonzero_region_tuple(m), np.int64)
+                     for m in masks])
+
+
+def crop_img_to_bounding_box(img: jnp.ndarray,
+                             bounding_boxes: np.ndarray) -> jnp.ndarray:
+    """Crop each batch image to its bbox, top-left aligned into a common
+    (max_h, max_w) canvas with background 1 (reference
+    crop_img_to_bounding_box, utils.py:190-220)."""
+    boxes = np.asarray(bounding_boxes)
+    max_h = int((boxes[:, 2] - boxes[:, 0]).max())
+    max_w = int((boxes[:, 3] - boxes[:, 1]).max())
+    B, C = img.shape[0], img.shape[1]
+    out = jnp.ones((B, C, max_h, max_w), img.dtype)
+    for i in range(B):
+        min_h, min_w, mh, mw = (int(v) for v in boxes[i])
+        h, w = mh - min_h, mw - min_w
+        out = out.at[i, :, :h, :w].set(img[i, :, min_h:mh, min_w:mw])
+    return out
+
+
+def seed_everything(seed: int) -> None:
+    """Seed the host-side RNGs (reference seed_everything, utils.py:73-84).
+    Device randomness in this framework is explicit jax key threading; this
+    covers python/numpy used by procedural tooling and augmentations."""
+    import os
+    import random
+
+    random.seed(seed)
+    os.environ["PYTHONHASHSEED"] = str(seed)
+    np.random.seed(seed)
+
+
 def tensor2numpy(x: jnp.ndarray) -> np.ndarray:
     """Device -> uint8 image with NaN/Inf guard (reference utils.py:43-61)."""
     arr = np.asarray(x)

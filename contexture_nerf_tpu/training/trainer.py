@@ -251,15 +251,15 @@ class ConTEXTure:
             self._render_jit_cache[sig] = builder()
         return self._render_jit_cache[sig]
 
-    def _render_pose_jit(self, dims=None):
+    def _render_pose_jit(self, dims=None, use_median: bool = False):
         model = self.mesh_model
-        sig = ("pose", dims)
+        sig = ("pose", dims, use_median)
 
         def build():
             def f(params, theta, phi, radius, background):
                 return model.render(params, theta=theta, phi=phi,
                                     radius=radius, background=background,
-                                    dims=dims)
+                                    dims=dims, use_median=use_median)
             return jax.jit(f)
 
         return self._jit_cache_get(sig, build)
@@ -778,7 +778,8 @@ class ConTEXTure:
             sz = self.cfg.render.train_grid_size
             background = resize_bilinear(self.back_im[None], sz, sz)
 
-        outputs = self._render_pose_jit()(
+        # median default-fill on repaint passes (reference trainer.py:1001)
+        outputs = self._render_pose_jit(use_median=self.paint_step > 1)(
             self.texture_params, jnp.asarray([theta], jnp.float32),
             jnp.asarray([phi], jnp.float32),
             jnp.asarray([radius], jnp.float32), background)
@@ -823,9 +824,12 @@ class ConTEXTure:
 
     # -- eval ---------------------------------------------------------------------
 
-    def _build_eval_render(self, dim: int, use_median: bool):
-        """One jitted eval-render graph per (dim, median) signature —
-        eager per-op dispatch is expensive through the device tunnel."""
+    def _build_eval_render(self, dim: int, use_median: bool, mesh=None):
+        """One jitted eval-render graph per (dim, median, batch) signature —
+        eager per-op dispatch is expensive through the device tunnel. With a
+        device mesh, the pose batch shards over the `views` axis (turntable
+        frames are the eval data-parallel axis, SURVEY.md §2.3 table) and
+        params replicate."""
         model = self.mesh_model
 
         def f(params, theta, phi, radius):
@@ -847,23 +851,36 @@ class ConTEXTure:
             depth = jnp.transpose(outputs["depth"], (0, 2, 3, 1))
             return rgb, texture, depth, z_normals
 
-        return jax.jit(f)
+        if mesh is None:
+            return jax.jit(f)
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def eval_render(self, data):
-        """(reference trainer.py:1119-1157)"""
-        phi = data["phi"] - np.deg2rad(self.cfg.render.front_offset)
-        phi = float(phi + 2 * np.pi if phi < 0 else phi)
+        rep = NamedSharding(mesh, P())
+        shv = NamedSharding(mesh, P("views"))
+        return jax.jit(f, in_shardings=(None, shv, shv, shv),
+                       out_shardings=(shv, rep, shv, shv))
+
+    def _eval_jit_for(self, batch: int, mesh=None):
         dim = self.cfg.render.eval_grid_size
-        sig = ("eval_render", dim, self._median_eval)
+        sig = ("eval_render", dim, self._median_eval, batch,
+               mesh is not None)
         if not hasattr(self, "_eval_jit"):
             self._eval_jit = {}
         if sig not in self._eval_jit:
             self._eval_jit[sig] = self._build_eval_render(
-                dim, self._median_eval)
-        return self._eval_jit[sig](
+                dim, self._median_eval, mesh)
+        return self._eval_jit[sig]
+
+    def _adjust_phi(self, phi) -> float:
+        phi = phi - np.deg2rad(self.cfg.render.front_offset)
+        return float(phi + 2 * np.pi if phi < 0 else phi)
+
+    def eval_render(self, data):
+        """(reference trainer.py:1119-1157)"""
+        return self._eval_jit_for(1)(
             self.texture_params,
             jnp.asarray([data["theta"]], jnp.float32),
-            jnp.asarray([phi], jnp.float32),
+            jnp.asarray([self._adjust_phi(data["phi"])], jnp.float32),
             jnp.asarray([data["radius"]], jnp.float32))
 
     def evaluate(self, dataloader, save_path: Path,
@@ -873,17 +890,38 @@ class ConTEXTure:
         save_path.mkdir(exist_ok=True, parents=True)
         all_preds = []
         texture = None
-        for i, data in enumerate(dataloader):
-            preds, textures, depths, normals = self.eval_render(data)
-            pred = tensor2numpy(preds[0])
-            texture = textures
-            if save_as_video:
-                all_preds.append(pred)
-            else:
-                from PIL import Image
 
-                Image.fromarray(pred).save(
-                    save_path / f"eval_rendered_{i:04d}_rgb.jpg")
+        poses = list(dataloader)
+        mesh = self._make_mesh()
+        chunk = mesh.shape["views"] if mesh is not None else 1
+        eval_fn = self._eval_jit_for(chunk, mesh)
+        thetas = np.asarray([p["theta"] for p in poses], np.float32)
+        phis = np.asarray([self._adjust_phi(p["phi"]) for p in poses],
+                          np.float32)
+        radii = np.asarray([p["radius"] for p in poses], np.float32)
+        n = len(poses)
+        pad = (-n) % chunk
+        if pad:  # repeat the last pose to fill the sharded batch
+            thetas = np.concatenate([thetas, np.repeat(thetas[-1:], pad)])
+            phis = np.concatenate([phis, np.repeat(phis[-1:], pad)])
+            radii = np.concatenate([radii, np.repeat(radii[-1:], pad)])
+
+        for start in range(0, n + pad, chunk):
+            sl = slice(start, start + chunk)
+            preds, textures, depths, normals = eval_fn(
+                self.texture_params, jnp.asarray(thetas[sl]),
+                jnp.asarray(phis[sl]), jnp.asarray(radii[sl]))
+            texture = textures
+            for j in range(min(chunk, n - start)):
+                i = start + j
+                pred = tensor2numpy(preds[j])
+                if save_as_video:
+                    all_preds.append(pred)
+                else:
+                    from PIL import Image
+
+                    Image.fromarray(pred).save(
+                        save_path / f"eval_rendered_{i:04d}_rgb.jpg")
         from PIL import Image
 
         Image.fromarray(tensor2numpy(texture[0])).save(

@@ -138,3 +138,45 @@ def test_view_consistency_identical_views():
     imgs2 = imgs.at[1].set(0.9)
     sim2 = compute_view_consistency(imgs2, faces, jnp.asarray(face_idx), fvi)
     assert float(sim2) < float(sim)
+
+
+def test_smooth_image_and_colormap(tmp_path):
+    from contexture_nerf_tpu.ops.image import save_colormap, smooth_image
+
+    img = jnp.zeros((3, 16, 16)).at[:, 8, 8].set(1.0)
+    out = smooth_image(img, sigma=2.0, kernel_size=9)
+    assert out.shape == (3, 16, 16)
+    assert float(out[0, 8, 8]) < 1.0 and float(out[0, 7, 8]) > 0.0
+    # energy preserved by the normalized kernel (away from borders)
+    np.testing.assert_allclose(float(out[0].sum()), 1.0, rtol=1e-5)
+
+    save_colormap(np.linspace(0, 1, 64).reshape(8, 8), tmp_path / "cm.png")
+    assert (tmp_path / "cm.png").exists()
+
+
+def test_crop_img_to_bounding_box_and_vectorized():
+    from contexture_nerf_tpu.ops.image import (crop_img_to_bounding_box,
+                                               get_nonzero_region_tuple,
+                                               get_nonzero_region_vectorized)
+
+    masks = np.zeros((2, 20, 20), np.float32)
+    masks[0, 5:9, 5:9] = 1
+    masks[1, 2:14, 3:11] = 1
+    boxes = get_nonzero_region_vectorized(masks)
+    assert boxes.shape == (2, 4)
+    np.testing.assert_array_equal(
+        boxes[0], np.asarray(get_nonzero_region_tuple(masks[0])))
+
+    img = jnp.asarray(np.random.default_rng(0).uniform(0, 0.5, (2, 3, 20, 20))
+                      .astype(np.float32))
+    out = crop_img_to_bounding_box(img, boxes)
+    assert out.shape[0] == 2 and out.shape[1] == 3
+    h0 = boxes[0, 2] - boxes[0, 0]
+    w0 = boxes[0, 3] - boxes[0, 1]
+    np.testing.assert_allclose(
+        np.asarray(out[0, :, :h0, :w0]),
+        np.asarray(img[0, :, boxes[0, 0]:boxes[0, 2],
+                       boxes[0, 1]:boxes[0, 3]]))
+    # background fill = 1 (reference utils.py:207)
+    if out.shape[2] > h0:
+        np.testing.assert_allclose(np.asarray(out[0, :, h0:, :]), 1.0)
