@@ -56,10 +56,13 @@ def _lib():
     lib.objio_load.argtypes = [ctypes.c_char_p, ctypes.POINTER(_ObjMesh)]
     lib.objio_load.restype = ctypes.c_int
     lib.objio_free.argtypes = [ctypes.POINTER(_ObjMesh)]
-    lib.objio_atlas_unwrap.argtypes = [
+    lib.objio_chart_unwrap.argtypes = [
         ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64)]
-    lib.objio_atlas_unwrap.restype = ctypes.c_int
+    lib.objio_chart_unwrap.restype = ctypes.c_int
     _LIB = lib
     return lib
 
@@ -90,15 +93,32 @@ def load_obj(path: str):
         lib.objio_free(ctypes.byref(mesh))
 
 
-def atlas_unwrap_native(n_faces: int) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+def chart_unwrap_native(vertices: np.ndarray, faces: np.ndarray,
+                        angle_thr_deg: float = 75.0,
+                        gutter: float = 4.0 / 1024.0
+                        ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Native connected-chart UV unwrap (same algorithm as
+    models/textured_mesh.py::atlas_unwrap — BFS chart growth + planar
+    parameterization + shelf packing; verified to produce identical ft and
+    near-identical vt). Returns (vt, ft) or None when the native library is
+    unavailable."""
     lib = _lib()
     if not lib:
         return None
-    vt = np.zeros((3 * n_faces, 2), np.float32)
-    ft = np.zeros((n_faces, 3), np.int64)
-    rc = lib.objio_atlas_unwrap(
-        n_faces, vt.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        ft.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    vertices = np.ascontiguousarray(vertices, np.float32)
+    faces = np.ascontiguousarray(faces, np.int64)
+    F = faces.shape[0]
+    vt = np.zeros((3 * F, 2), np.float32)
+    ft = np.zeros((F, 3), np.int64)
+    n_vt = np.zeros((1,), np.int64)
+    rc = lib.objio_chart_unwrap(
+        vertices.shape[0],
+        vertices.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        F, faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_float(angle_thr_deg), ctypes.c_float(gutter),
+        vt.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ft.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_vt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     if rc != 0:
         return None
-    return vt, ft
+    return vt[:int(n_vt[0])].copy(), ft

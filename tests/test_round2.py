@@ -287,3 +287,34 @@ def test_psnr_harness(tmp_path):
     assert list(results) == ["v0.png"] and not missing
     assert main([str(ref), str(out), "--threshold", "30"]) == 0
     assert main([str(ref), str(out), "--threshold", "60"]) == 1
+
+
+# -- native chart unwrap parity ------------------------------------------------
+
+def test_native_chart_unwrap_matches_python():
+    from contexture_nerf_tpu.native import objio
+    from contexture_nerf_tpu.models import textured_mesh as tm
+    from tools.make_shapes import torus
+
+    v, f, _, _ = torus(n_major=24, n_minor=12)
+    nat = objio.chart_unwrap_native(v, f)
+    if nat is None:
+        pytest.skip("native toolchain unavailable")
+    orig = objio.chart_unwrap_native
+    objio.chart_unwrap_native = lambda *a, **k: None
+    try:
+        vt_py, ft_py = tm.atlas_unwrap(v, f)
+    finally:
+        objio.chart_unwrap_native = orig
+    vt_n, ft_n = nat
+    np.testing.assert_array_equal(ft_n, ft_py)
+    assert vt_n.shape == vt_py.shape
+    assert vt_n.min() >= 0.0 and vt_n.max() <= 1.0
+    # same charts and same within-chart geometry; absolute shelf placement
+    # may differ (equal-height tie order depends on float normal rounding)
+    chart = tm._grow_charts(v, f, 75.0)
+    for cid in range(int(chart.max()) + 1):
+        idx = np.unique(ft_py[chart == cid].reshape(-1))
+        rel_py = vt_py[idx] - vt_py[idx].min(axis=0)
+        rel_n = vt_n[idx] - vt_n[idx].min(axis=0)
+        np.testing.assert_allclose(rel_n, rel_py, atol=1e-4)
