@@ -113,6 +113,32 @@ def bench_full_sds_iter(tiny):
     return (time.perf_counter() - t0) / n_iters * 1000.0
 
 
+def bench_sd2_denoise(tiny):
+    """SD2-depth CFG denoise steps/sec at 512^2 (BASELINE.md row 'SD2-depth
+    single-view denoise'): one 5-ch UNet forward at CFG batch 2, the unit the
+    bootstrap runs 50x of."""
+    import jax
+    import jax.numpy as jnp
+
+    from contexture_nerf_tpu.diffusion.sd_depth import StableDiffusionDepth
+
+    sd = StableDiffusionDepth(tiny=tiny, use_inpaint=False,
+                              dtype=jnp.bfloat16, seed=0)
+    lat_sz = 8 if tiny else 64
+    lat = jnp.zeros((2, 5, lat_sz, lat_sz), jnp.float32)
+    emb = jnp.zeros((2, 77, sd.unet_config.cross_attention_dim), jnp.float32)
+    t = jnp.asarray([500], jnp.int32)
+
+    f = jax.jit(lambda p, x: sd.unet.apply(p, x, t, emb))
+    jax.block_until_ready(f(sd.params["unet"], lat))
+    n = 3 if tiny else 30
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = f(sd.params["unet"], lat)
+    jax.block_until_ready(out)
+    return n / (time.perf_counter() - t0)
+
+
 def bench_volume(tiny):
     import jax
     import jax.numpy as jnp
@@ -152,6 +178,10 @@ def main():
         extra["volume_rays_per_sec"] = round(bench_volume(tiny))
     except Exception as e:
         extra["volume_rays_per_sec"] = f"error: {type(e).__name__}"
+    try:
+        extra["sd2_denoise_steps_per_sec"] = round(bench_sd2_denoise(tiny), 2)
+    except Exception as e:
+        extra["sd2_denoise_steps_per_sec"] = f"error: {type(e).__name__}"
 
     print(json.dumps({
         "metric": "zero123plus_teacher_denoise_steps_per_sec_chip",

@@ -463,7 +463,11 @@ class ConTEXTure:
                                eps=cfg.optim.sds_eps)
 
         hot = {
-            "cache6": setup["cache6"], "depth_grid": setup["depth_grid"],
+            # the raster cache is only consumed by the exact-lattice path;
+            # keeping it out of the hot args otherwise saves ~400 MB HBM of
+            # replicated per-view buffers at 1200^2
+            "cache6": setup["cache6"] if exact_render else None,
+            "depth_grid": setup["depth_grid"],
             "cond_lat_pair": setup["cond_lat_pair"],
             "encoder_hidden_states": setup["encoder_hidden_states"],
             "zp_params": zero123plus.params,
@@ -1003,7 +1007,14 @@ class ConTEXTure:
     def log_texture_map(self, params, iteration: int):
         from PIL import Image
 
-        tex, _ = self.mesh_model.get_texture_map(params)
-        arr = np.asarray(jnp.clip(tex, 0, 1)[0]).transpose(1, 2, 0)
+        # jitted: the eager 1M-point lattice query materializes every MLP
+        # activation in HBM (~1 GB each at res=1024), and this runs at the
+        # reference's 10/100-iter cadence
+        if not hasattr(self, "_texmap_jit"):
+            model = self.mesh_model
+            self._texmap_jit = jax.jit(
+                lambda p: jnp.clip(model.get_texture_map(p)[0], 0, 1))
+        tex = self._texmap_jit(params)
+        arr = np.asarray(tex[0]).transpose(1, 2, 0)
         Image.fromarray((arr * 255).astype(np.uint8)).save(
             self.train_renders_path / f"texture_map_iter_{iteration:06d}.png")
