@@ -76,6 +76,26 @@ def _grow_charts(vertices: np.ndarray, faces: np.ndarray,
     return chart
 
 
+def _per_face_unwrap(faces: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Guaranteed-capacity fallback packer: every triangle gets its own
+    right-triangle cell in a sqrt(F) grid (loses UV continuity; only used
+    when shelf packing cannot fit the chart count)."""
+    F = faces.shape[0]
+    cols = int(np.ceil(np.sqrt(F)))
+    rows = int(np.ceil(F / cols))
+    cw, ch = 1.0 / cols, 1.0 / rows
+    gut = 0.1
+    vt = np.zeros((3 * F, 2), np.float32)
+    ft = np.arange(3 * F, dtype=np.int64).reshape(F, 3)
+    idx = np.arange(F)
+    cx = (idx % cols) * cw
+    cy = (idx // cols) * ch
+    vt[0::3] = np.stack([cx + gut * cw, cy + gut * ch], -1)
+    vt[1::3] = np.stack([cx + (1 - gut) * cw, cy + gut * ch], -1)
+    vt[2::3] = np.stack([cx + gut * cw, cy + (1 - gut) * ch], -1)
+    return vt, ft
+
+
 def atlas_unwrap(vertices: np.ndarray, faces: np.ndarray,
                  angle_thr_deg: float = 75.0,
                  gutter: float = 4.0 / 1024.0
@@ -158,7 +178,11 @@ def atlas_unwrap(vertices: np.ndarray, faces: np.ndarray,
         if offsets is not None:
             break
         scale *= 0.85
-    assert offsets is not None, "atlas packing failed"
+    if offsets is None:
+        # the fixed gutter caps shelf capacity at ~(1/2g)^2 charts; meshes
+        # that weld nothing (triangle-soup exports -> one chart per face)
+        # can exceed it. Fall back to the guaranteed per-face grid packer.
+        return _per_face_unwrap(faces)
 
     vt_parts, ft = [], np.zeros((F, 3), np.int64)
     base = 0

@@ -32,9 +32,11 @@ class _ObjMesh(ctypes.Structure):
 
 
 def _build() -> Optional[Path]:
-    if _SO.exists():
-        return _SO
     src = _DIR / "objio.cpp"
+    # rebuild when the source is newer than the cached .so (a stale library
+    # from an older checkout would miss newly added symbols)
+    if _SO.exists() and _SO.stat().st_mtime >= src.stat().st_mtime:
+        return _SO
     try:
         subprocess.run(["g++", "-O2", "-shared", "-fPIC", str(src),
                         "-o", str(_SO)], check=True, capture_output=True,
@@ -52,17 +54,23 @@ def _lib():
     if so is None:
         _LIB = False
         return False
-    lib = ctypes.CDLL(str(so))
-    lib.objio_load.argtypes = [ctypes.c_char_p, ctypes.POINTER(_ObjMesh)]
-    lib.objio_load.restype = ctypes.c_int
-    lib.objio_free.argtypes = [ctypes.POINTER(_ObjMesh)]
-    lib.objio_chart_unwrap.argtypes = [
-        ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
-        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_float, ctypes.c_float,
-        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64)]
-    lib.objio_chart_unwrap.restype = ctypes.c_int
+    try:
+        lib = ctypes.CDLL(str(so))
+        lib.objio_load.argtypes = [ctypes.c_char_p,
+                                   ctypes.POINTER(_ObjMesh)]
+        lib.objio_load.restype = ctypes.c_int
+        lib.objio_free.argtypes = [ctypes.POINTER(_ObjMesh)]
+        lib.objio_chart_unwrap.argtypes = [
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.objio_chart_unwrap.restype = ctypes.c_int
+    except (OSError, AttributeError):
+        # unloadable or symbol-incomplete library: numpy fallback
+        _LIB = False
+        return False
     _LIB = lib
     return lib
 

@@ -193,6 +193,9 @@ class ConTEXTure:
                     self.texture_params)
                 diff = jnp.abs(base[None] - current).sum(axis=1)
                 self.edit_change_mask = (diff > 0.1).astype(jnp.float32)
+                self.log_train_image(
+                    jnp.repeat(self.edit_change_mask[:, None], 3, axis=1),
+                    "reference_texture_change_mask", file_type="png")
 
     def _init_diffusion(self) -> StableDiffusionDepth:
         # full-size stacks run bf16 (MXU-native; both UNet pairs at f32 would
@@ -668,7 +671,15 @@ class ConTEXTure:
                 start_iter = int(restored["iteration"])
                 logger.info(f"Resumed from checkpoint iter {start_iter}")
 
-        metrics_log = []
+        metrics_log: List[Dict[str, Any]] = []
+        if start_iter > 0 and (self.exp_path / "metrics.json").exists():
+            # keep the pre-interruption metric history on resume
+            try:
+                prev = json.loads(
+                    (self.exp_path / "metrics.json").read_text())
+                metrics_log = [m for m in prev if m["iter"] < start_iter]
+            except (json.JSONDecodeError, KeyError):
+                pass
         ikl_running_avg = None
         t_schedule_np = np.asarray(t_schedule)
         t0 = time.time()
@@ -709,7 +720,8 @@ class ConTEXTure:
                     (unscale_image(grid) + 1) / 2,
                     f"rendered_grid_clean_{i}")
             interval = self.cfg.optim.checkpoint_interval
-            if (i + 1) % interval == 0 and (i + 1) < iterations:
+            if interval > 0 and (i + 1) % interval == 0 \
+                    and (i + 1) < iterations:
                 self.texture_params = params
                 self.save_checkpoint(params, opt_state, i + 1)
 
@@ -970,17 +982,19 @@ class ConTEXTure:
                   rng_key=self.key)
 
     def _restore_checkpoint(self, iteration: int, params_like, opt_state_like):
-        """Typed restore (optax NamedTuple states need a structure target);
-        falls back to the untyped payload for older/partial checkpoints."""
+        """Typed restore (optax NamedTuple states need a structure target).
+        Old-format checkpoints (params+iteration only) restore untyped; a
+        full-payload checkpoint that fails the typed restore is a real error
+        (shape/config mismatch, corruption) and propagates."""
         from contexture_nerf_tpu.core import checkpoint as ckpt
 
         path = self.ckpt_path / f"iter_{iteration:06d}"
+        raw = ckpt.restore(path)
+        if "opt_state" not in raw:
+            return raw  # old format: nothing typed to recover
         target = {"params": params_like, "opt_state": opt_state_like,
                   "iteration": 0, "rng_key": np.asarray(self.key)}
-        try:
-            return ckpt.restore(path, target)
-        except Exception:
-            return ckpt.restore(path)
+        return ckpt.restore(path, target)
 
     def load_checkpoint(self, iteration: int):
         from contexture_nerf_tpu.core import checkpoint as ckpt

@@ -318,3 +318,18 @@ def test_native_chart_unwrap_matches_python():
         rel_py = vt_py[idx] - vt_py[idx].min(axis=0)
         rel_n = vt_n[idx] - vt_n[idx].min(axis=0)
         np.testing.assert_allclose(rel_n, rel_py, atol=1e-4)
+
+
+def test_atlas_unwrap_triangle_soup_fallback():
+    """Unwelded triangle-soup meshes (one chart per face) exceed the shelf
+    packer's gutter-bounded capacity; atlas_unwrap must fall back to the
+    per-face grid packer instead of crashing."""
+    from contexture_nerf_tpu.models import textured_mesh as tm
+
+    rng = np.random.default_rng(0)
+    F = 700
+    v = rng.uniform(-1, 1, (3 * F, 3)).astype(np.float32)
+    f = np.arange(3 * F, dtype=np.int64).reshape(F, 3)
+    vt, ft = tm.atlas_unwrap(v, f, gutter=0.02)  # capacity ~625 charts
+    assert vt.shape == (3 * F, 2) and ft.shape == (F, 3)
+    assert vt.min() >= 0.0 and vt.max() <= 1.0
