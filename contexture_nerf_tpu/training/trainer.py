@@ -825,11 +825,7 @@ class ConTEXTure:
             fixed_seed=self.cfg.optim.seed,
             intermediate_vis=self.cfg.log.vis_diffusion_steps)
         logger.info(f"img2img elapsed: {time.perf_counter() - start:.2f}s")
-        # intermediate denoise frames (reference log_diffusion_steps,
-        # trainer.py:1179-1185)
-        for k, frame in enumerate(steps_vis):
-            self.log_train_image(
-                frame, f"diffusion_step_{self.paint_step}_{k:02d}")
+        self.log_diffusion_steps(steps_vis)
 
         # paste the generated crop back into the full frame
         cropped_rgb_output = resize_bilinear(cropped_rgb_output,
@@ -1005,11 +1001,21 @@ class ConTEXTure:
 
     # -- logging --------------------------------------------------------------------
 
-    def log_train_image(self, tensor, name: str, file_type: str = "jpg"):
+    def log_train_image(self, tensor, name: str, file_type: str = "jpg",
+                        colormap: bool = False):
+        """(reference log_train_image, trainer.py:1162-1177; colormap routes
+        a (H,W) scalar map through the seismic colormap)"""
         if not self.cfg.log.log_images:
             return
         from PIL import Image
 
+        if colormap:
+            from contexture_nerf_tpu.ops.image import save_colormap
+
+            save_colormap(np.asarray(tensor),
+                          self.train_renders_path
+                          / f"debug_{name}.{file_type}")
+            return
         arr = np.asarray(jnp.clip(tensor, 0, 1)[0]).transpose(1, 2, 0)
         if np.any(np.isnan(arr)) or np.any(np.isinf(arr)):
             raise ValueError("Tensor contains NaNs or infinite values")
@@ -1017,6 +1023,21 @@ class ConTEXTure:
             arr = arr[..., :3]
         Image.fromarray((arr * 255).astype(np.uint8)).save(
             self.train_renders_path / f"debug_{name}.{file_type}")
+
+    def log_diffusion_steps(self, intermediate_vis):
+        """Save intermediate denoise frames to a per-paint-step folder
+        (reference log_diffusion_steps, trainer.py:1179-1185)."""
+        if not intermediate_vis:
+            return
+        from PIL import Image
+
+        folder = (self.train_renders_path
+                  / f"{self.paint_step:04d}_diffusion_steps")
+        folder.mkdir(exist_ok=True, parents=True)
+        for k, frame in enumerate(intermediate_vis):
+            arr = np.asarray(jnp.clip(frame, 0, 1)[0]).transpose(1, 2, 0)
+            Image.fromarray((arr * 255).astype(np.uint8)).save(
+                folder / f"{k:02d}_diffusion_step.jpg")
 
     def log_texture_map(self, params, iteration: int):
         from PIL import Image
