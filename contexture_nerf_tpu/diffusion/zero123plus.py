@@ -362,11 +362,14 @@ class Zero123PlusPipeline:
         if sig not in self._jit_cache:
             euler = self.euler
             ts, sigmas = euler.timesteps_and_sigmas(num_inference_steps)
+            # latent size follows the VAE's downsample factor (8 for SD;
+            # smaller for tiny test configs)
+            down = 2 ** (len(self.vae_config.block_out_channels) - 1)
 
             def run(params, cond_lat_pair, ehs, depth, gs, key):
                 kl, key = jax.random.split(key)
                 lat = jax.random.normal(
-                    kl, (1, 4, height // 8, width // 8)) * sigmas[0]
+                    kl, (1, 4, height // down, width // down)) * sigmas[0]
 
                 def body(carry, inp):
                     lat, key = carry
