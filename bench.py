@@ -173,15 +173,15 @@ def main():
     try:
         extra["full_sds_iter_ms"] = round(bench_full_sds_iter(tiny), 1)
     except Exception as e:  # never lose the primary metric
-        extra["full_sds_iter_ms"] = f"error: {type(e).__name__}"
+        extra["full_sds_iter_ms"] = f"error: {type(e).__name__}: {str(e)[:200]}"
     try:
         extra["volume_rays_per_sec"] = round(bench_volume(tiny))
     except Exception as e:
-        extra["volume_rays_per_sec"] = f"error: {type(e).__name__}"
+        extra["volume_rays_per_sec"] = f"error: {type(e).__name__}: {str(e)[:200]}"
     try:
         extra["sd2_denoise_steps_per_sec"] = round(bench_sd2_denoise(tiny), 2)
     except Exception as e:
-        extra["sd2_denoise_steps_per_sec"] = f"error: {type(e).__name__}"
+        extra["sd2_denoise_steps_per_sec"] = f"error: {type(e).__name__}: {str(e)[:200]}"
 
     print(json.dumps({
         "metric": "zero123plus_teacher_denoise_steps_per_sec_chip",

@@ -57,9 +57,9 @@ def _embed_block(uv, multires: int):
         [emb, jnp.zeros((emb.shape[0], pad), emb.dtype)], axis=-1)
 
 
-def _forward_block(uv, w_refs, b_refs, multires: int, cdt):
-    """Returns (out (BLK, OUT_PAD), activations list for backward)."""
-    emb = _embed_block(uv, multires)
+def _forward_from_emb(emb, w_refs, b_refs, cdt):
+    """Forward from a precomputed padded embedding (BLK, EMB_PAD).
+    Returns (out (BLK, OUT_PAD), activations list for backward)."""
     acts = [emb]
     h = emb
     for i in range(_DEPTH):
@@ -74,12 +74,19 @@ def _forward_block(uv, w_refs, b_refs, multires: int, cdt):
     return out, acts
 
 
+def _forward_block(uv, w_refs, b_refs, multires: int, cdt):
+    return _forward_from_emb(_embed_block(uv, multires), w_refs, b_refs, cdt)
+
+
 def _fwd_kernel(multires, cdt, uv_ref, *rest):
     w_refs = rest[:_DEPTH + 1]
     b_refs = rest[_DEPTH + 1:2 * (_DEPTH + 1)]
     out_ref = rest[2 * (_DEPTH + 1)]
-    uv = uv_ref[...].astype(jnp.float32)
-    out, _ = _forward_block(uv, w_refs, b_refs, multires, cdt)
+    if multires is None:  # input IS the padded embedding
+        emb = uv_ref[...].astype(jnp.float32)
+    else:
+        emb = _embed_block(uv_ref[...].astype(jnp.float32), multires)
+    out, _ = _forward_from_emb(emb, w_refs, b_refs, cdt)
     out_ref[...] = out
 
 
@@ -99,9 +106,12 @@ def _bwd_kernel(multires, cdt, uv_ref, g_ref, *rest):
         for r in db_refs:
             r[...] = jnp.zeros_like(r)
 
-    uv = uv_ref[...].astype(jnp.float32)
     g = g_ref[...].astype(jnp.float32)  # (BLK, OUT_PAD)
-    out, acts = _forward_block(uv, w_refs, b_refs, multires, cdt)
+    if multires is None:  # input IS the padded embedding
+        emb = uv_ref[...].astype(jnp.float32)
+    else:
+        emb = _embed_block(uv_ref[...].astype(jnp.float32), multires)
+    out, acts = _forward_from_emb(emb, w_refs, b_refs, cdt)
 
     # output layer
     h_last = acts[-1]
@@ -144,11 +154,12 @@ def _unpad_grads(dws, dbs, multires: int, like_params):
 
 
 def _pad_points(uv):
-    N = uv.shape[0]
+    """Pad the point (or embedding) rows up to a _BLK multiple."""
+    N, D = uv.shape
     pad = (-N) % _BLK
     if pad:
         uv = jnp.concatenate(
-            [uv, jnp.zeros((pad, 2), uv.dtype)], axis=0)
+            [uv, jnp.zeros((pad, D), uv.dtype)], axis=0)
     return uv, N, N + pad
 
 
@@ -158,10 +169,11 @@ def _run_forward(ws, bs, uv, multires, interpret, cdt):
                             memory_space=pltpu.VMEM) for w in ws]
     b_specs = [pl.BlockSpec(b.shape, lambda i: (0, 0),
                             memory_space=pltpu.VMEM) for b in bs]
+    in_dim = uv.shape[1]
     out = pl.pallas_call(
         partial(_fwd_kernel, multires, cdt),
         grid=(Np // _BLK,),
-        in_specs=[pl.BlockSpec((_BLK, 2), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((_BLK, in_dim), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] + w_specs + b_specs,
         out_specs=pl.BlockSpec((_BLK, _OUT_PAD), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -184,10 +196,11 @@ def _run_backward(ws, bs, uv, g, multires, interpret, cdt):
                                memory_space=pltpu.VMEM) for w in ws]
                  + [pl.BlockSpec(b.shape, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM) for b in bs])
+    in_dim = uv.shape[1]
     outs = pl.pallas_call(
         partial(_bwd_kernel, multires, cdt),
         grid=(Np // _BLK,),
-        in_specs=[pl.BlockSpec((_BLK, 2), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((_BLK, in_dim), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((_BLK, _OUT_PAD), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
@@ -236,6 +249,39 @@ def _pad_params_traced(params, multires: int):
     ws.append(jnp.concatenate([k, jnp.zeros((_W, _OUT_PAD - 3))], axis=1))
     bs.append(jnp.concatenate([b, jnp.zeros(_OUT_PAD - 3)])[None])
     return ws, bs
+
+
+def pad_embedding(uv, multires: int = 10):
+    """Precompute the zero-padded Fourier embedding (N, EMB_PAD) for
+    fused_nerf2d_emb — the hot-loop UVs are static, so the ~40 sin/cos per
+    point need not be recomputed every iteration (fwd AND bwd)."""
+    return _embed_block(jnp.asarray(uv, jnp.float32), multires)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_nerf2d_emb(params, emb, multires: int = 10,
+                     interpret: bool = False, compute_dtype=jnp.float32):
+    """fused_nerf2d on a precomputed padded embedding (N, EMB_PAD) from
+    pad_embedding. multires is still needed to unpad parameter gradients."""
+    ws, bs = _pad_params_traced(params, multires)
+    return _run_forward(ws, bs, emb, None, interpret, compute_dtype)
+
+
+def _fused_emb_fwd(params, emb, multires, interpret, compute_dtype):
+    out = fused_nerf2d_emb(params, emb, multires, interpret, compute_dtype)
+    return out, (params, emb)
+
+
+def _fused_emb_bwd(multires, interpret, compute_dtype, res, g):
+    params, emb = res
+    ws, bs = _pad_params_traced(params, multires)
+    dws, dbs = _run_backward(ws, bs, emb, g.astype(jnp.float32), None,
+                             interpret, compute_dtype)
+    dparams = _unpad_grads(dws, dbs, multires, params)
+    return dparams, jnp.zeros_like(emb)
+
+
+fused_nerf2d_emb.defvjp(_fused_emb_fwd, _fused_emb_bwd)
 
 
 def _fused_fwd(params, uv, multires, interpret, compute_dtype):

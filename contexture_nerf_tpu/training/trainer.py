@@ -366,8 +366,12 @@ class ConTEXTure:
         cond_lat_pair, encoder_hidden_states = \
             self.zero123plus.prepare_conditioning(cond_image * 2 - 1, k_cond)
 
-        # slice the cache to the 6 target views for the hot loop
-        cache6 = jax.tree.map(lambda x: x[1:], cache)
+        # slice the cache to the 6 target views for the hot loop; the default
+        # render path then needs NO raster buffers at all (it works from the
+        # crop-resized UV embedding), so both the 7-view cache and the slice
+        # are dropped to free ~900 MB of HBM next to the diffusion towers
+        exact = self.cfg.optim.exact_lattice_render
+        cache6 = jax.tree.map(lambda x: x[1:], cache) if exact else None
         bboxes6 = self._bboxes[1:]
 
         # per-view tile-sampling probabilities from the view-weight masks:
@@ -388,7 +392,7 @@ class ConTEXTure:
             "cond_lat_pair": cond_lat_pair,
             "encoder_hidden_states": encoder_hidden_states,
             "cond_image": cond_image, "tile_probs": tile_probs,
-            "uv_grid_pts": None, "mask_grid": None,
+            "uv_grid_pts": None, "mask_grid": None, "emb_pts": None,
         }
 
         if not self.cfg.optim.exact_lattice_render:
@@ -397,8 +401,8 @@ class ConTEXTure:
             # MLP directly at the resized UVs — dense MXU math, no
             # lattice-gather/scatter in the hot loop. UVs are mask-weighted
             # through the resize so background zeros don't bleed into edges.
-            uv_maps = jnp.transpose(cache6.uv_features, (0, 3, 1, 2))
-            mask6 = cache6.mask
+            uv_maps = jnp.transpose(cache.uv_features[1:], (0, 3, 1, 2))
+            mask6 = cache.mask[1:]
             uv_tiles, m_tiles = [], []
             for i in range(6):
                 m_t = crop_and_resize(mask6[i:i + 1], bboxes6[i], tp, tp)
@@ -408,9 +412,18 @@ class ConTEXTure:
                 m_tiles.append(m_t)
             uv_grid = merge_6_to_grid(jnp.concatenate(uv_tiles, axis=0))
             mask_grid = merge_6_to_grid(jnp.concatenate(m_tiles, axis=0))
-            setup["uv_grid_pts"] = jnp.clip(
+            uv_pts = jnp.clip(
                 jnp.transpose(uv_grid[0], (1, 2, 0)).reshape(-1, 2), 0.0, 1.0)
+            setup["uv_grid_pts"] = uv_pts
             setup["mask_grid"] = mask_grid
+            # NOTE a precomputed Fourier embedding of these static UVs saves
+            # ~18 ms/iter (ops/mlp_kernel.fused_nerf2d_emb, tested) but the
+            # extra ~314 MB resident tips the axon tunnel into
+            # RESOURCE_EXHAUSTED next to the full diffusion towers at
+            # 1200^2 — re-enable once HBM accounting improves (docs/PERF.md).
+            # The raster buffers ARE dropped: this path works entirely from
+            # the resized UVs + mask grid.
+            self._geometry_cache = None
         return setup
 
     def _make_mesh(self) -> Optional["jax.sharding.Mesh"]:
@@ -477,6 +490,7 @@ class ConTEXTure:
             "vae_params": zero123plus.params["vae"],
             "uv_grid_pts": setup["uv_grid_pts"],
             "mask_grid": setup["mask_grid"],
+            "emb_pts": setup["emb_pts"],
             "tile_probs": setup["tile_probs"],
         }
 
@@ -514,7 +528,8 @@ class ConTEXTure:
             else:
                 # student compute runs in the diffusion stack's dtype (bf16
                 # full-size; the reference runs its loop under fp16 autocast,
-                # stable_diffusion_depth.py:330) — MXU-native matmuls
+                # stable_diffusion_depth.py:330) — fused VMEM-resident kernel
+                # on TPU, flax path elsewhere/under GSPMD
                 rgb = mesh_model.query_texture_at_uv(
                     params, hot["uv_grid_pts"], allow_fused=(mesh is None),
                     compute_dtype=zero123plus.dtype)
@@ -613,6 +628,8 @@ class ConTEXTure:
                             if hot["uv_grid_pts"] is not None else None),
             "mask_grid": (hot_sharding(hot["mask_grid"])
                           if hot["mask_grid"] is not None else None),
+            "emb_pts": (NamedSharding(mesh, shard_spec(hot["emb_pts"], 0))
+                        if hot["emb_pts"] is not None else None),
             "tile_probs": rep,
         }
         hot = jax.tree.map(jax.device_put, hot, hot_sh)

@@ -69,3 +69,29 @@ def test_fused_bf16_compute_close_to_f32():
                          for x in jax.tree.leaves(g_b)])
     cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb) + 1e-12))
     assert cos > 0.99, cos
+
+
+def test_fused_emb_variant_matches_uv_variant():
+    """fused_nerf2d_emb on a precomputed padded embedding equals fused_nerf2d
+    on raw UVs, forward and backward (the SDS hot path uses the emb form)."""
+    from contexture_nerf_tpu.ops.mlp_kernel import (fused_nerf2d_emb,
+                                                    pad_embedding)
+
+    mlp = NeRF2D(input_ch=embedder_out_dim(10))
+    params = jax.jit(mlp.init)(jax.random.PRNGKey(0), jnp.zeros((1, 42)))
+    uv = jax.random.uniform(jax.random.PRNGKey(1), (300, 2))
+    emb = pad_embedding(uv, 10)
+    assert emb.shape == (300, 128)
+    np.testing.assert_allclose(np.asarray(emb[:, :42]),
+                               np.asarray(fourier_embed(uv, 10)), atol=1e-6)
+
+    ref = fused_nerf2d(params, uv, 10, True)
+    out = fused_nerf2d_emb(params, emb, 10, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    g_ref = jax.grad(lambda p: jnp.sum(
+        jnp.tanh(fused_nerf2d(p, uv, 10, True)) ** 2))(params)
+    g_emb = jax.grad(lambda p: jnp.sum(
+        jnp.tanh(fused_nerf2d_emb(p, emb, 10, True)) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_emb)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
