@@ -200,9 +200,18 @@ class CLIPTokenizer:
         self.model_max_length = max_length
         self.bos_token_id = vocab_size - 2
         self.eos_token_id = vocab_size - 1
+        # textual-inversion concept tokens (transformers add_tokens
+        # equivalent; reference load_concept adds the trained token and
+        # resizes the embedding, stable_diffusion_depth.py:196-213)
+        self.added_tokens: dict = {}
         self._bpe = None
         if vocab_path and os.path.exists(vocab_path):
             self._load_bpe(vocab_path, merges_path)
+
+    def add_token(self, token: str, token_id: int) -> None:
+        """Map a literal whitespace-delimited token to a fixed id (used by
+        textual-inversion concepts whose embeddings extend the table)."""
+        self.added_tokens[token.lower()] = token_id
 
     def _load_bpe(self, vocab_path, merges_path):
         with open(vocab_path) as f:
@@ -238,20 +247,24 @@ class CLIPTokenizer:
         import re
 
         text = html.unescape(text.strip().lower())
-        words = re.findall(r"[\w]+|[^\s\w]", text)
         ids: List[int] = []
-        if self._bpe:
-            for w in words:
-                for piece in self._bpe_word(w):
-                    ids.append(self.encoder.get(
-                        piece, self.encoder.get("<|endoftext|>", 0)))
-        else:
-            # deterministic hash fallback (zero-egress environments)
-            import hashlib
+        for chunk in text.split():
+            if chunk in self.added_tokens:
+                ids.append(self.added_tokens[chunk])
+                continue
+            words = re.findall(r"[\w]+|[^\s\w]", chunk)
+            if self._bpe:
+                for w in words:
+                    for piece in self._bpe_word(w):
+                        ids.append(self.encoder.get(
+                            piece, self.encoder.get("<|endoftext|>", 0)))
+            else:
+                # deterministic hash fallback (zero-egress environments)
+                import hashlib
 
-            for w in words:
-                h = int(hashlib.md5(w.encode()).hexdigest(), 16)
-                ids.append(h % (self.vocab_size - 3) + 1)
+                for w in words:
+                    h = int(hashlib.md5(w.encode()).hexdigest(), 16)
+                    ids.append(h % (self.vocab_size - 3) + 1)
         return ids
 
     def __call__(self, prompts, padding: str = "max_length",

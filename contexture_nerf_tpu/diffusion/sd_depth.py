@@ -47,6 +47,39 @@ class SDWeightPaths:
     tokenizer_vocab: Optional[str] = None
     tokenizer_merges: Optional[str] = None
 
+    @staticmethod
+    def from_snapshot(root: Optional[str] = None,
+                      inpaint_root: Optional[str] = None) -> "SDWeightPaths":
+        """Resolve a diffusers snapshot directory into component paths.
+
+        `root` is an SD2-depth-style snapshot (unet/vae/text_encoder/
+        tokenizer subfolders — the layout `guide.diffusion_name` points at
+        when it is a local directory; reference loads the same subfolders by
+        name, stable_diffusion_depth.py:58-100). `inpaint_root` is an
+        SD2-inpaint snapshot (guide.inpaint_model_path); only its unet is
+        consumed (reference :71-74). Missing subfolders stay None (random
+        init)."""
+        from pathlib import Path
+
+        wp = SDWeightPaths()
+        if root is not None:
+            root = Path(root)
+            for attr, sub in (("unet", "unet"), ("vae", "vae"),
+                              ("text_encoder", "text_encoder")):
+                p = root / sub
+                if p.exists():
+                    setattr(wp, attr, str(p))
+            vocab = root / "tokenizer" / "vocab.json"
+            merges = root / "tokenizer" / "merges.txt"
+            if vocab.exists() and merges.exists():
+                wp.tokenizer_vocab = str(vocab)
+                wp.tokenizer_merges = str(merges)
+        if inpaint_root is not None:
+            ip = Path(inpaint_root)
+            wp.inpaint_unet = str(ip / "unet" if (ip / "unet").exists()
+                                  else ip)
+        return wp
+
 
 class StableDiffusionDepth:
     """SD2-depth (+ SD2-inpaint) guidance stack."""
@@ -390,17 +423,23 @@ class StableDiffusionDepth:
         import numpy as np
         import torch
 
-        learned = torch.load(concept_path, map_location="cpu")
-        emb_table = np.asarray(
-            self.params["text"]["params"]["token_embedding"]["embedding"])
+        learned = torch.load(concept_path, map_location="cpu",
+                             weights_only=True)
+        table = self.params["text"]["params"]["token_embedding"]["embedding"]
+        emb_table = np.asarray(table, np.float32)
         for token, emb in learned.items():
-            emb_np = emb.float().numpy()[None]
+            emb_np = emb.float().numpy().reshape(1, -1)
             emb_table = np.concatenate([emb_table, emb_np], axis=0)
-            # hash-tokenizer: reserve the new id for this literal token
-            new_id = emb_table.shape[0] - 1
-            setattr(self.tokenizer, "_concept_" + token, new_id)
+            # the new row's id becomes the token's id (transformers
+            # add_tokens + resize_token_embeddings equivalent)
+            self.tokenizer.add_token(token, emb_table.shape[0] - 1)
         self.params["text"]["params"]["token_embedding"]["embedding"] = (
-            jnp.asarray(emb_table))
+            jnp.asarray(emb_table, dtype=table.dtype))
+        # resize_token_embeddings equivalent: flax validates param shapes
+        # against the module config, so the text tower must be rebuilt with
+        # the grown vocab
+        self.text_config.vocab_size = emb_table.shape[0]
+        self.text_encoder = CLIPTextModel(self.text_config, dtype=self.dtype)
 
     # -- SDS train step (non-Zero123++ path) ----------------------------------
 

@@ -78,7 +78,43 @@ class Zero123PlusWeightPaths:
     vision_encoder: Optional[str] = None
     tokenizer_vocab: Optional[str] = None
     tokenizer_merges: Optional[str] = None
-    ramping_coefficients: Optional[str] = None  # json file
+    # json file: either a plain list or a dict with a "ramping_coefficients"
+    # key (the hub pipeline registers them into its model_index.json config,
+    # reference src/zero123plus.py:392, consumed at trainer.py:631)
+    ramping_coefficients: Optional[str] = None
+
+    @staticmethod
+    def from_snapshot(root: Optional[str] = None,
+                      controlnet_root: Optional[str] = None
+                      ) -> "Zero123PlusWeightPaths":
+        """Resolve a Zero123++ diffusers snapshot (guide.zero123plus_path)
+        plus an optional standalone ControlNet snapshot
+        (guide.controlnet_path) into component paths. Missing pieces stay
+        None (random init)."""
+        from pathlib import Path
+
+        wp = Zero123PlusWeightPaths()
+        if root is not None:
+            root = Path(root)
+            for attr, sub in (("unet", "unet"), ("vae", "vae"),
+                              ("text_encoder", "text_encoder"),
+                              ("vision_encoder", "vision_encoder")):
+                p = root / sub
+                if p.exists():
+                    setattr(wp, attr, str(p))
+            vocab = root / "tokenizer" / "vocab.json"
+            merges = root / "tokenizer" / "merges.txt"
+            if vocab.exists() and merges.exists():
+                wp.tokenizer_vocab = str(vocab)
+                wp.tokenizer_merges = str(merges)
+            if wp.controlnet is None and (root / "controlnet").exists():
+                wp.controlnet = str(root / "controlnet")
+            mi = root / "model_index.json"
+            if mi.exists():
+                wp.ramping_coefficients = str(mi)
+        if controlnet_root is not None:
+            wp.controlnet = str(controlnet_root)
+        return wp
 
 
 class Zero123PlusPipeline:
@@ -124,8 +160,14 @@ class Zero123PlusPipeline:
         if wp.ramping_coefficients:
             import json
 
-            self.ramping = np.asarray(
-                json.load(open(wp.ramping_coefficients)), np.float32)
+            data = json.load(open(wp.ramping_coefficients))
+            if isinstance(data, dict):
+                data = data["ramping_coefficients"]
+            self.ramping = np.asarray(data, np.float32)
+            if self.ramping.shape[0] != self.text_config.max_positions:
+                raise ValueError(
+                    f"ramping_coefficients length {self.ramping.shape[0]} != "
+                    f"max_positions {self.text_config.max_positions}")
         else:
             self.ramping = default_ramping_coefficients(
                 self.text_config.max_positions)

@@ -40,6 +40,7 @@ from contexture_nerf_tpu.diffusion import schedulers as sch
 from contexture_nerf_tpu.diffusion.sd_depth import (SDWeightPaths,
                                                     StableDiffusionDepth)
 from contexture_nerf_tpu.diffusion.zero123plus import (Zero123PlusPipeline,
+                                                       Zero123PlusWeightPaths,
                                                        scale_image,
                                                        scale_latents,
                                                        unscale_image)
@@ -54,6 +55,9 @@ from contexture_nerf_tpu.training.views_dataset import (MultiviewDataset,
                                                         Zero123PlusDataset)
 
 logger = logging.getLogger("contexture_nerf_tpu")
+
+# tests flip this to exercise the precomputed-embedding kernel path off-TPU
+_FUSED_EMB_INTERPRET = False
 
 
 def make_path(p: Path) -> Path:
@@ -201,19 +205,44 @@ class ConTEXTure:
         # full-size stacks run bf16 (MXU-native; both UNet pairs at f32 would
         # exceed a v5e chip's 16 GB HBM); tiny CPU test configs stay f32
         dtype = jnp.float32 if self.tiny else jnp.bfloat16
-        return StableDiffusionDepth(
+        g = self.cfg.guide
+        # guide.diffusion_name doubles as a local snapshot root (reference
+        # loads the same name from the hub, stable_diffusion_depth.py:58-100;
+        # this environment is zero-egress so only local directories load)
+        sd_root = g.diffusion_name if os.path.isdir(str(g.diffusion_name)) \
+            else None
+        wp = None
+        if sd_root or g.inpaint_model_path:
+            wp = SDWeightPaths.from_snapshot(sd_root, g.inpaint_model_path)
+            logger.info(f"SD2 weights from snapshot: {wp}")
+        diffusion = StableDiffusionDepth(
             min_timestep=self.cfg.optim.min_timestep,
             max_timestep=self.cfg.optim.max_timestep,
             no_noise=self.cfg.optim.no_noise,
             use_inpaint=True,
+            weight_paths=wp,
             tiny=self.tiny,
             dtype=dtype,
             seed=self.cfg.optim.seed)
+        # textual-inversion concept (reference loads in StableDiffusion
+        # __init__, stable_diffusion_depth.py:104-105)
+        cp = g.concept_path
+        if cp is not None and Path(cp).exists():
+            diffusion.load_concept(str(cp))
+            logger.info(f"Loaded textual-inversion concept from {cp}")
+        return diffusion
 
     def _init_zero123plus(self) -> Zero123PlusPipeline:
         dtype = jnp.float32 if self.tiny else jnp.bfloat16
-        return Zero123PlusPipeline(conditioning_scale=2.0, tiny=self.tiny,
-                                   dtype=dtype, seed=self.cfg.optim.seed)
+        g = self.cfg.guide
+        wp = None
+        if g.zero123plus_path or g.controlnet_path:
+            wp = Zero123PlusWeightPaths.from_snapshot(g.zero123plus_path,
+                                                      g.controlnet_path)
+            logger.info(f"Zero123++ weights from snapshot: {wp}")
+        return Zero123PlusPipeline(conditioning_scale=2.0, weight_paths=wp,
+                                   tiny=self.tiny, dtype=dtype,
+                                   seed=self.cfg.optim.seed)
 
     def _calc_text_embeddings(self):
         ref_text = self.cfg.guide.text
@@ -378,14 +407,30 @@ class ConTEXTure:
         # views whose pixels mostly see their faces head-on (best view) get
         # proportionally more SDS tile draws. This consumes the reference's
         # computed-but-unused six_view_weights (trainer.py:709; SURVEY.md §7
-        # "actually use or drop").
+        # "actually use or drop"). optim.tile_weighting selects: 'uniform'
+        # (exact reference behavior), 'weighted', or 'mixed' (default —
+        # 0.5 uniform floor so a view with zero best-view pixels still
+        # receives SDS gradients).
         fg = object_masks > 0.5
         best = jnp.logical_and(self.view_weights, fg)
         frac = (best.sum(axis=(1, 2, 3)) /
                 jnp.maximum(fg.sum(axis=(1, 2, 3)), 1))
         w6 = np.asarray(frac, np.float64)[1:]
-        tile_probs = jnp.asarray(w6 / max(w6.sum(), 1e-8), jnp.float32)
-        logger.info(f"view tile probs: {np.round(np.asarray(tile_probs), 3)}")
+        w6 = w6 / max(w6.sum(), 1e-8)
+        mode = self.cfg.optim.tile_weighting
+        uniform = np.full(6, 1.0 / 6.0)
+        if mode == "uniform":
+            probs = uniform
+        elif mode == "weighted":
+            probs = w6
+        elif mode == "mixed":
+            probs = 0.5 * uniform + 0.5 * w6
+        else:
+            raise ValueError(f"optim.tile_weighting: unknown mode {mode!r} "
+                             "(expected uniform|mixed|weighted)")
+        tile_probs = jnp.asarray(probs / probs.sum(), jnp.float32)
+        logger.info(f"view tile probs ({mode}): "
+                    f"{np.round(np.asarray(tile_probs), 3)}")
 
         setup: Dict[str, Any] = {
             "cache6": cache6, "bboxes6": bboxes6, "depth_grid": depth_grid,
@@ -416,27 +461,69 @@ class ConTEXTure:
                 jnp.transpose(uv_grid[0], (1, 2, 0)).reshape(-1, 2), 0.0, 1.0)
             setup["uv_grid_pts"] = uv_pts
             setup["mask_grid"] = mask_grid
-            # NOTE a precomputed Fourier embedding of these static UVs saves
-            # ~18 ms/iter (ops/mlp_kernel.fused_nerf2d_emb, tested) but the
-            # extra ~314 MB resident tips the axon tunnel into
-            # RESOURCE_EXHAUSTED next to the full diffusion towers at
-            # 1200^2 — re-enable once HBM accounting improves (docs/PERF.md).
+            if self.cfg.optim.precompute_uv_embedding:
+                # opt-in: precomputed Fourier embedding of the static UVs +
+                # the fused_nerf2d_emb kernel saves ~18 ms/iter, but the
+                # ~314 MB residency can tip the axon tunnel into
+                # RESOURCE_EXHAUSTED next to the full towers at 1200^2
+                # (docs/PERF.md headroom) — hence the config gate.
+                mlp = self.mesh_model.texture_mlp
+                eligible = (mlp.D == 8 and mlp.W == 256
+                            and tuple(mlp.skips) == (4,)
+                            and (jax.default_backend() == "tpu"
+                                 or _FUSED_EMB_INTERPRET))
+                if eligible:
+                    from contexture_nerf_tpu.ops.mlp_kernel import (
+                        pad_embedding)
+
+                    setup["emb_pts"] = pad_embedding(
+                        uv_pts, multires=self.mesh_model.multires)
+                else:
+                    logger.warning(
+                        "optim.precompute_uv_embedding ignored: fused kernel "
+                        "needs a TPU backend and the 8x256 skip-4 MLP")
             # The raster buffers ARE dropped: this path works entirely from
             # the resized UVs + mask grid.
             self._geometry_cache = None
+
+        # guide.reference_texture edit localization: gradients flow only
+        # where the current texture differs from the reference (the change
+        # mask _seed_texture_field computed; reference's broken
+        # meta_texture_img path, src/models/textured_mesh.py:138-149).
+        setup["edit_mask_pts"] = None
+        if self.edit_change_mask is not None and \
+                setup["uv_grid_pts"] is not None:
+            res = self.edit_change_mask.shape[-1]
+            pts = setup["uv_grid_pts"]
+            # lattice convention (fields.uv_lattice): row = v*(res-1),
+            # col = u*(res-1)
+            coords = jnp.stack([pts[:, 1] * (res - 1),
+                                pts[:, 0] * (res - 1)])
+            setup["edit_mask_pts"] = jax.scipy.ndimage.map_coordinates(
+                self.edit_change_mask[0], coords, order=1)[:, None]
         return setup
 
     def _make_mesh(self) -> Optional["jax.sharding.Mesh"]:
         """Device mesh for the SDS step per optim.data_parallel:
         'auto' -> all devices on a real multi-chip TPU backend; 'on' -> all
-        visible devices (tests use the 8-virtual-CPU mesh); 'off' -> None."""
+        visible devices (tests use the 8-virtual-CPU mesh); 'off' -> None.
+        optim.tensor_parallel > 1 folds a `tp` axis into the mesh
+        ((views x tp), SURVEY.md §2.3 TP row) — _build_sds_step then applies
+        Megatron-style param shardings to the teacher/VAE towers."""
         from contexture_nerf_tpu.parallel.mesh import create_mesh
 
         dp = self.cfg.optim.data_parallel
+        tp = max(1, int(self.cfg.optim.tensor_parallel))
         n = len(jax.devices())
         if n <= 1 or dp == "off":
             return None
         if dp == "on" or (dp == "auto" and jax.default_backend() == "tpu"):
+            if tp > 1:
+                if n % tp != 0:
+                    raise ValueError(
+                        f"optim.tensor_parallel={tp} does not divide the "
+                        f"{n} visible devices")
+                return create_mesh((n // tp, tp), ("views", "tp"))
             return create_mesh((n,), ("views",))
         return None
 
@@ -491,6 +578,7 @@ class ConTEXTure:
             "uv_grid_pts": setup["uv_grid_pts"],
             "mask_grid": setup["mask_grid"],
             "emb_pts": setup["emb_pts"],
+            "edit_mask_pts": setup.get("edit_mask_pts"),
             "tile_probs": setup["tile_probs"],
         }
 
@@ -530,9 +618,27 @@ class ConTEXTure:
                 # full-size; the reference runs its loop under fp16 autocast,
                 # stable_diffusion_depth.py:330) — fused VMEM-resident kernel
                 # on TPU, flax path elsewhere/under GSPMD
-                rgb = mesh_model.query_texture_at_uv(
-                    params, hot["uv_grid_pts"], allow_fused=(mesh is None),
-                    compute_dtype=zero123plus.dtype)
+                if hot["emb_pts"] is not None:
+                    # optim.precompute_uv_embedding: static Fourier features
+                    # feed the precomputed-embedding kernel directly
+                    from contexture_nerf_tpu.ops.mlp_kernel import (
+                        fused_nerf2d_emb)
+
+                    out = fused_nerf2d_emb(params, hot["emb_pts"],
+                                           mesh_model.multires,
+                                           _FUSED_EMB_INTERPRET,
+                                           zero123plus.dtype)
+                    rgb = (jnp.tanh(out) + 1.0) / 2.0
+                else:
+                    rgb = mesh_model.query_texture_at_uv(
+                        params, hot["uv_grid_pts"],
+                        allow_fused=(mesh is None),
+                        compute_dtype=zero123plus.dtype)
+                if hot["edit_mask_pts"] is not None:
+                    # localize guide.reference_texture edits: unedited texels
+                    # contribute no gradient
+                    m = hot["edit_mask_pts"]
+                    rgb = m * rgb + (1 - m) * jax.lax.stop_gradient(rgb)
                 mlp_out = rgb
                 grid = jnp.transpose(
                     rgb.reshape(grid_hw[0], grid_hw[1], 3),
@@ -617,19 +723,34 @@ class ConTEXTure:
                 return NamedSharding(mesh, shard_spec(x, 0))
             return rep
 
+        # tensor parallelism: Megatron-style tower shardings over the `tp`
+        # mesh axis (parallel/tp.py); replicated otherwise
+        tp_on = "tp" in mesh.axis_names and mesh.shape["tp"] > 1
+        if tp_on:
+            from contexture_nerf_tpu.parallel.tp import tp_param_specs
+
+            zp_sh_tree = tp_param_specs(hot["zp_params"], mesh, "tp")
+            vae_sh_tree = tp_param_specs(hot["vae_params"], mesh, "tp")
+        else:
+            zp_sh_tree = jax.tree.map(lambda x: rep, hot["zp_params"])
+            vae_sh_tree = jax.tree.map(lambda x: rep, hot["vae_params"])
+
         hot_sh = {
             "cache6": jax.tree.map(lambda x: rep, hot["cache6"]),
             "depth_grid": hot_sharding(hot["depth_grid"]),
             "cond_lat_pair": hot_sharding(hot["cond_lat_pair"]),
             "encoder_hidden_states": rep,
-            "zp_params": jax.tree.map(lambda x: rep, hot["zp_params"]),
-            "vae_params": jax.tree.map(lambda x: rep, hot["vae_params"]),
+            "zp_params": zp_sh_tree,
+            "vae_params": vae_sh_tree,
             "uv_grid_pts": (hot_sharding(hot["uv_grid_pts"])
                             if hot["uv_grid_pts"] is not None else None),
             "mask_grid": (hot_sharding(hot["mask_grid"])
                           if hot["mask_grid"] is not None else None),
             "emb_pts": (NamedSharding(mesh, shard_spec(hot["emb_pts"], 0))
                         if hot["emb_pts"] is not None else None),
+            "edit_mask_pts": (
+                NamedSharding(mesh, shard_spec(hot["edit_mask_pts"], 0))
+                if hot["edit_mask_pts"] is not None else None),
             "tile_probs": rep,
         }
         hot = jax.tree.map(jax.device_put, hot, hot_sh)
@@ -741,6 +862,10 @@ class ConTEXTure:
                     and (i + 1) < iterations:
                 self.texture_params = params
                 self.save_checkpoint(params, opt_state, i + 1)
+                # metrics survive a genuine interruption, not just the
+                # resume-after-success test scenario
+                (self.exp_path / "metrics.json").write_text(
+                    json.dumps(metrics_log, indent=1))
 
         self.texture_params = params
         (self.exp_path / "metrics.json").write_text(

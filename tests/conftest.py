@@ -4,6 +4,9 @@ run cluster-free (SURVEY.md §4). Set RUN_TPU_TESTS=1 to keep the real backend
 
 import os
 import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 if not os.environ.get("RUN_TPU_TESTS"):
     os.environ["JAX_PLATFORMS"] = "cpu"
