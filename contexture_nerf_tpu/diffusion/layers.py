@@ -117,11 +117,11 @@ class CrossAttention(nn.Module):
     def __call__(self, x, context=None, ref_kv=None):
         inner = self.num_heads * self.head_dim
         ctx = x if context is None else context
-        if ref_kv is not None:
-            ctx = jnp.concatenate([ctx, ref_kv.astype(ctx.dtype)], axis=1)
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        to_k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")
+        to_v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")
+        k = to_k(ctx)
+        v = to_v(ctx)
 
         B, Sq = q.shape[0], q.shape[1]
         Skv = k.shape[1]
@@ -130,7 +130,19 @@ class CrossAttention(nn.Module):
             return t.reshape(B, S, self.num_heads, self.head_dim
                              ).transpose(0, 2, 1, 3)
 
-        out = attention(split(q, Sq), split(k, Skv), split(v, Skv))
+        ek = ev = None
+        if ref_kv is not None:
+            # project the reference tokens with the SAME weights and attend
+            # jointly — linearity makes this exactly the hub's
+            # concat-then-project (zero123plus.py:153), but the flash kernel
+            # streams them as a second KV source instead of materializing the
+            # 2x-length tensor
+            r = ref_kv.astype(self.dtype)
+            Sr = r.shape[1]
+            ek = split(to_k(r), Sr)
+            ev = split(to_v(r), Sr)
+        out = attention(split(q, Sq), split(k, Skv), split(v, Skv),
+                        extra_k=ek, extra_v=ev)
         out = out.transpose(0, 2, 1, 3).reshape(B, Sq, inner)
         return nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
 

@@ -2,13 +2,20 @@
 
 Used by every UNet/CLIP attention layer, replacing torch/cuDNN SDPA
 (reference: diffusers AttnProcessor2_0 inside the hub pipelines;
-SURVEY.md §2.2). Supports the Zero123++ *reference attention* pattern — extra
-KV tokens streamed as a second source so the concat at
-src/zero123plus.py:153-155 never materializes a 2x-length KV tensor.
+SURVEY.md §2.2). Supports the Zero123++ *reference attention* pattern — the
+cond-image KV tokens enter the kernel as a SECOND block source streamed from
+HBM, so the concat at src/zero123plus.py:153-155 never materializes and no
+full-length KV tensor is staged in VMEM.
 
-The Pallas kernel is a standard online-softmax flash attention:
-grid (batch*heads, q_blocks); K/V streamed in blocks of 512 tokens; runs in
-f32 accumulation with bf16 inputs.
+Kernel design (SURVEY §2.3 sequence-parallel row): online-softmax flash
+attention on a (batch*heads, q_blocks, kv_blocks) grid with the KV axis
+innermost. Pallas double-buffers the 512-token KV blocks HBM->VMEM
+automatically; the second source's grid indices are clamped so each block is
+fetched exactly once. Softmax state (m, l, acc) lives in VMEM scratch and
+carries across the kv grid axis; f32 accumulation with bf16 inputs. VMEM
+footprint per program is O(Q_BLK*d + 2*KV_BLK*d) regardless of sequence
+length (previously the whole padded KV — ~9.8 MB at the 19.2k-token ref-attn
+top block — was staged per program).
 """
 
 from __future__ import annotations
@@ -26,87 +33,158 @@ _KV_BLK = 512
 _NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, len_ref, o_ref):
-    """q: (1, Qb, d), k/v: (1, Skv, d) full in VMEM, len (SMEM): real kv len.
-    One program computes one query block with online softmax over kv blocks."""
-    q = q_ref[0].astype(jnp.float32)  # (Qb, d)
-    kv_len = len_ref[0]
-    Skv = k_ref.shape[1]
-    num_kv_blocks = Skv // _KV_BLK
+def _online_update(q, k, v, col0, limit, acc_ref, m_ref, l_ref):
+    """One online-softmax step: scores of q (Qb,d) against k/v (Kb,d),
+    masking columns >= limit, folded into the running (acc, m, l) state."""
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    col = col0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < limit, s, _NEG_INF)
+    m = m_ref[:]
+    l = l_ref[:]
+    m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    scale = jnp.exp(m - m_new)
+    l_new = l * scale + jnp.sum(p, axis=1, keepdims=True)
+    acc_new = acc_ref[:] * scale + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+    acc_ref[:] = acc_new
 
-    def body(i, carry):
-        acc, m, l = carry
-        sl = pl.ds(i * _KV_BLK, _KV_BLK)
-        k = k_ref[0, sl, :].astype(jnp.float32)  # (Kb, d)
-        v = v_ref[0, sl, :].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        col = i * _KV_BLK + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, _NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        scale = jnp.exp(m - m_new)
-        l_new = l * scale + jnp.sum(p, axis=1, keepdims=True)
-        acc_new = acc * scale + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return acc_new, m_new, l_new
 
-    d = q_ref.shape[2]
-    acc = jnp.zeros((q.shape[0], d), jnp.float32)
-    m = jnp.full((q.shape[0], 1), _NEG_INF, jnp.float32)
-    l = jnp.zeros((q.shape[0], 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_kv_blocks, body, (acc, m, l))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+def _flash_kernel_single(len_ref, q_ref, k_ref, v_ref, o_ref,
+                         acc_ref, m_ref, l_ref, *, nk):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    _online_update(q, k_ref[0].astype(jnp.float32),
+                   v_ref[0].astype(jnp.float32),
+                   j * _KV_BLK, len_ref[0], acc_ref, m_ref, l_ref)
+
+    @pl.when(j == nk - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(
+            o_ref.dtype)
+
+
+def _flash_kernel_two_source(len_ref, q_ref, k_ref, v_ref, ek_ref, ev_ref,
+                             o_ref, acc_ref, m_ref, l_ref, *, nk, ne):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+
+    @pl.when(j < nk)
+    def _():
+        _online_update(q, k_ref[0].astype(jnp.float32),
+                       v_ref[0].astype(jnp.float32),
+                       j * _KV_BLK, len_ref[0], acc_ref, m_ref, l_ref)
+
+    @pl.when(j >= nk)
+    def _():
+        _online_update(q, ek_ref[0].astype(jnp.float32),
+                       ev_ref[0].astype(jnp.float32),
+                       (j - nk) * _KV_BLK, len_ref[1], acc_ref, m_ref, l_ref)
+
+    @pl.when(j == nk + ne - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(
+            o_ref.dtype)
+
+
+def _pad_to(x, axis, mult):
+    pad = (-x.shape[axis]) % mult
+    if pad:
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        x = jnp.pad(x, widths)
+    return x
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def flash_attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           extra_k: Optional[jnp.ndarray] = None,
+                           extra_v: Optional[jnp.ndarray] = None,
                            interpret: bool = False) -> jnp.ndarray:
-    """q (B,H,Sq,d), k/v (B,H,Skv,d), pre-scaled q expected by caller? No —
-    applies 1/sqrt(d) scaling internally. Returns (B,H,Sq,d)."""
+    """q (B,H,Sq,d), k/v (B,H,Skv,d), optional extra_k/extra_v (B,H,Se,d)
+    attended jointly with k/v (reference-attention second source). Applies
+    1/sqrt(d) scaling internally. Returns (B,H,Sq,d)."""
     B, H, Sq, d_in = q.shape
     Skv = k.shape[2]
     scale = 1.0 / (d_in ** 0.5)
-    # lane-align head_dim (zero-padding the contraction is exact)
-    dpad = (-d_in) % 128
-    if dpad:
-        pad = ((0, 0), (0, 0), (0, 0), (0, dpad))
-        q = jnp.pad(q, pad)
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
-    d = d_in + dpad
-    q = (q * scale).reshape(B * H, Sq, d)
-    k = k.reshape(B * H, Skv, d)
-    v = v.reshape(B * H, Skv, d)
+    has_extra = extra_k is not None
+    Se = extra_k.shape[2] if has_extra else 0
 
-    qpad = (-Sq) % _Q_BLK
-    kpad = (-Skv) % _KV_BLK
-    if qpad:
-        q = jnp.pad(q, ((0, 0), (0, qpad), (0, 0)))
-    if kpad:
-        k = jnp.pad(k, ((0, 0), (0, kpad), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, kpad), (0, 0)))
-    Sqp, Skvp = Sq + qpad, Skv + kpad
+    def prep(x):
+        # lane-align head_dim (zero-padding the contraction is exact)
+        x = _pad_to(x, 3, 128)
+        return x.reshape(B * H, x.shape[2], x.shape[3])
 
-    kv_len = jnp.asarray([Skv], jnp.int32)
-    out = pl.pallas_call(
-        _flash_kernel,
-        grid=(B * H, Sqp // _Q_BLK),
-        in_specs=[
-            pl.BlockSpec((1, _Q_BLK, d), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Skvp, d), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Skvp, d), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, _Q_BLK, d), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, Sqp, d), q.dtype),
-        interpret=interpret,
-    )(q, k, v, kv_len)
+    d = d_in + ((-d_in) % 128)
+    q = prep(q * scale)
+    k = prep(k)
+    v = prep(v)
+    q = _pad_to(q, 1, _Q_BLK)
+    k = _pad_to(k, 1, _KV_BLK)
+    v = _pad_to(v, 1, _KV_BLK)
+    nq = q.shape[1] // _Q_BLK
+    nk = k.shape[1] // _KV_BLK
+
+    lens = jnp.asarray([Skv, Se], jnp.int32)
+    kv_spec = pl.BlockSpec((1, _KV_BLK, d),
+                           lambda b, i, j: (b, jnp.minimum(j, nk - 1), 0),
+                           memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((_Q_BLK, d), jnp.float32),
+               pltpu.VMEM((_Q_BLK, 1), jnp.float32),
+               pltpu.VMEM((_Q_BLK, 1), jnp.float32)]
+    q_spec = pl.BlockSpec((1, _Q_BLK, d), lambda b, i, j: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, _Q_BLK, d), lambda b, i, j: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    if has_extra:
+        ek = _pad_to(prep(extra_k), 1, _KV_BLK)
+        ev = _pad_to(prep(extra_v), 1, _KV_BLK)
+        ne = ek.shape[1] // _KV_BLK
+        # second source: grid index clamped into [0, ne); each block fetched
+        # once (pallas skips the copy while the block index is unchanged)
+        ekv_spec = pl.BlockSpec(
+            (1, _KV_BLK, d),
+            lambda b, i, j: (b, jnp.clip(j - nk, 0, ne - 1), 0),
+            memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            partial(_flash_kernel_two_source, nk=nk, ne=ne),
+            grid=(B * H, nq, nk + ne),
+            in_specs=[len_spec, q_spec, kv_spec, kv_spec, ekv_spec,
+                      ekv_spec],
+            out_specs=o_spec,
+            out_shape=jax.ShapeDtypeStruct((B * H, nq * _Q_BLK, d), q.dtype),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(lens, q, k, v, ek, ev)
+    else:
+        out = pl.pallas_call(
+            partial(_flash_kernel_single, nk=nk),
+            grid=(B * H, nq, nk),
+            in_specs=[len_spec, q_spec, kv_spec, kv_spec],
+            out_specs=o_spec,
+            out_shape=jax.ShapeDtypeStruct((B * H, nq * _Q_BLK, d), q.dtype),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(lens, q, k, v)
     return out[:, :Sq, :d_in].reshape(B, H, Sq, d_in)
 
 
@@ -125,12 +203,14 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """Multi-head attention over (B, H, S, d) tensors.
 
     extra_k/extra_v: optional reference-attention KV extension (Zero123++
-    concat-KV, zero123plus.py:153): attended jointly with k/v."""
-    if extra_k is not None:
-        k = jnp.concatenate([k, extra_k], axis=2)
-        v = jnp.concatenate([v, extra_v], axis=2)
+    concat-KV, zero123plus.py:153): attended jointly with k/v. On the Pallas
+    path they stream into the kernel as a second block source; the XLA
+    fallback concatenates (mathematically identical)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas and q.shape[2] >= _Q_BLK:
-        return flash_attention_pallas(q, k, v)
+        return flash_attention_pallas(q, k, v, extra_k, extra_v)
+    if extra_k is not None:
+        k = jnp.concatenate([k, extra_k], axis=2)
+        v = jnp.concatenate([v, extra_v], axis=2)
     return _xla_attention(q, k, v)
