@@ -4,23 +4,33 @@ Primary metric (tracked across rounds, BASELINE.md headline unit): Zero123++
 teacher denoise steps/sec — one SDS teacher evaluation = reference-write UNet
 pass (CFG batch 2) + depth ControlNet + CFG-paired main UNet pass with
 doubled self-attn KV, real SD2-backbone at the real 3x2 grid latent
-(1,4,120,80), bf16.
+(1,4,120,80), bf16. Reported as the MEDIAN of N>=5 repeated timing windows;
+`extra.teacher_iqr_ms` carries the spread so cross-round regressions are
+distinguishable from tunnel noise (VERDICT r2 weak #1).
 
-`extra` carries the wider harness (VERDICT r1 item 8):
-  - full_sds_iter_ms: ONE production SDS iteration (student MLP render of the
-    960x640 grid + VAE encode fwd/bwd + teacher + adam) via the actual
-    ConTEXTure._build_sds_step graph on a procedural sphere;
+`extra` carries the wider harness:
+  - full_sds_iter_ms (+ _iqr): ONE production SDS iteration (student MLP
+    render of the 960x640 grid + VAE encode fwd/bwd + teacher + adam) via the
+    actual ConTEXTure._build_sds_step graph on a procedural sphere;
   - teacher_mfu_pct: XLA-counted FLOPs / wall-clock vs the chip's bf16 peak;
-  - volume_rays_per_sec: coarse+fine volume render (models/volume.py).
+  - e2e_slice: bootstrap + 25 SDS iters + 5-pose eval through trainer.paint()
+    as ONE wall-clock measurement (the measured proxy for the BASELINE
+    <=0.5x-A100 end-to-end target), with the per-phase compile-vs-steady
+    breakdown from the profiler;
+  - volume_rays_per_sec, sd2_denoise_steps_per_sec.
 
 vs_baseline compares the primary metric against an A100 torch estimate for
 the same composite step (~5.5 steps/s: ~60 ms/UNet-fwd at batch 2 x 2 passes
 + ControlNet; the reference publishes no numbers — BASELINE.md documents
-this). >1.0 beats it.
+this). >1.0 beats it. vs_prev_round compares against the newest BENCH_r*.json
+in the repo root.
 """
 
+import glob
 import json
 import os
+import re
+import statistics
 import time
 
 os.environ.setdefault("JAX_PLATFORMS", "axon,tpu,cpu")
@@ -29,6 +39,30 @@ A100_REF_STEPS_PER_SEC = 5.5
 # bf16 peak per chip by device kind (fallback 197 TFLOP/s = v5e)
 PEAK_BF16 = {"TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v4": 275e12,
              "TPU v5p": 459e12, "TPU v6e": 918e12}
+
+
+def _timed_windows(fn, ready, n_iters, reps):
+    """reps timing windows of n_iters calls each -> per-call seconds list."""
+    out = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(n_iters):
+            r = fn()
+        ready(r)
+        out.append((time.perf_counter() - t0) / n_iters)
+    return out
+
+
+def _median_iqr_ms(samples_s):
+    ms = sorted(1000.0 * s for s in samples_s)
+    med = statistics.median(ms)
+    if len(ms) >= 4:
+        q = statistics.quantiles(ms, n=4)
+        iqr = q[2] - q[0]
+    else:
+        iqr = max(ms) - min(ms)
+    return med, iqr
 
 
 def bench_teacher(tiny):
@@ -59,27 +93,29 @@ def bench_teacher(tiny):
     except Exception:
         flops = 0.0
     jax.block_until_ready(jitted(*args))
-    n_iters = 3 if tiny else 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = jitted(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iters
+    n_iters, reps = (3, 2) if tiny else (20, 5)
+    samples = _timed_windows(lambda: jitted(*args), jax.block_until_ready,
+                             n_iters, reps)
+    med_ms, iqr_ms = _median_iqr_ms(samples)
+    dt = med_ms / 1000.0
 
     kind = jax.devices()[0].device_kind
     peak = next((v for k, v in PEAK_BF16.items() if k in kind), 197e12)
     mfu = 100.0 * flops / dt / peak if flops else 0.0
-    return 1.0 / dt, mfu
+    return 1.0 / dt, iqr_ms, mfu
 
 
-def bench_full_sds_iter(tiny):
-    """One production SDS iteration through the real trainer graph."""
+def bench_trainer(tiny):
+    """Shared full-size trainer: (a) single-SDS-iteration microbench through
+    the production step graph, (b) the bootstrap+25-iter+5-pose-eval
+    end-to-end slice via trainer.paint()."""
     import tempfile
     from pathlib import Path
 
     import jax
     import jax.numpy as jnp
 
+    from contexture_nerf_tpu.core import profiler
     from contexture_nerf_tpu.core.config import config_from_dict
     from contexture_nerf_tpu.training.trainer import ConTEXTure
     from tools.make_shapes import uv_sphere, write_obj
@@ -89,28 +125,48 @@ def bench_full_sds_iter(tiny):
     write_obj(sphere, *uv_sphere(24, 48))
     cfg = config_from_dict({
         "log": {"exp_name": "bench_sds", "exp_root": str(tmp / "exp"),
-                "log_images": False, "save_mesh": False},
+                "log_images": False, "save_mesh": False,
+                "eval_size": 2, "full_eval_size": 5},
         "render": {"train_grid_size": 48 if tiny else 1200},
         "guide": {"text": "bench", "shape_path": str(sphere),
                   "texture_resolution": 16 if tiny else 1024},
-        "optim": {"seed": 0, "sds_iterations": 1, "data_parallel": "off"},
+        "optim": {"seed": 0, "sds_iterations": 2 if tiny else 25,
+                  "checkpoint_interval": 10 ** 9, "data_parallel": "off"},
     })
     trainer = ConTEXTure(cfg, tiny_models=tiny)
+
+    # (a) microbench: the exact per-iteration graph
     setup = trainer.prepare_sds(skip_bootstrap=True)
     step, optimizer, hot = trainer._build_sds_step(setup, None)
     params = trainer.texture_params
     opt_state = optimizer.init(params)
     t = jnp.asarray([500], jnp.int32)
     key = jax.random.PRNGKey(0)
-    out = step(params, opt_state, t, key, hot)
-    jax.block_until_ready(out)  # compile
-    n_iters = 2 if tiny else 20
+    jax.block_until_ready(step(params, opt_state, t, key, hot))  # compile
+
+    state = {"params": params, "opt_state": opt_state}
+
+    def one():
+        state["params"], state["opt_state"], loss, gn, fi, grid = step(
+            state["params"], state["opt_state"], t, key, hot)
+        return loss
+
+    n_iters, reps = (2, 2) if tiny else (20, 5)
+    samples = _timed_windows(one, jax.block_until_ready, n_iters, reps)
+    iter_ms, iter_iqr = _median_iqr_ms(samples)
+
+    # (b) e2e slice: full paint() = bootstrap -> SDS loop -> eval -> video.
+    # Phases come from the profiler with compile separated from steady state.
+    profiler.GLOBAL_TIMINGS = profiler.Timings()
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        params, opt_state, loss, gn, fi, grid = step(params, opt_state, t,
-                                                     key, hot)
-    jax.block_until_ready(loss)
-    return (time.perf_counter() - t0) / n_iters * 1000.0
+    trainer.paint()
+    wall_s = time.perf_counter() - t0
+    phases = profiler.GLOBAL_TIMINGS.summary()
+    e2e = {"wall_s": round(wall_s, 1),
+           "sds_iters": cfg.optim.sds_iterations,
+           "eval_poses": cfg.log.full_eval_size,
+           "phases": phases}
+    return (iter_ms, iter_iqr), e2e
 
 
 def bench_sd2_denoise(tiny):
@@ -131,12 +187,11 @@ def bench_sd2_denoise(tiny):
 
     f = jax.jit(lambda p, x: sd.unet.apply(p, x, t, emb))
     jax.block_until_ready(f(sd.params["unet"], lat))
-    n = 3 if tiny else 30
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = f(sd.params["unet"], lat)
-    jax.block_until_ready(out)
-    return n / (time.perf_counter() - t0)
+    n, reps = (3, 2) if tiny else (30, 3)
+    samples = _timed_windows(lambda: f(sd.params["unet"], lat),
+                             jax.block_until_ready, n, reps)
+    med_ms, _ = _median_iqr_ms(samples)
+    return 1000.0 / med_ms
 
 
 def bench_volume(tiny):
@@ -158,20 +213,41 @@ def bench_volume(tiny):
     f = jax.jit(lambda k: volume_render(field, o, d, k, n_coarse=64,
                                         n_fine=64))
     jax.block_until_ready(f(key))
-    n = 3 if tiny else 10
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = f(key)
-    jax.block_until_ready(out["rgb"])
-    return R * n / (time.perf_counter() - t0)
+    n, reps = (3, 1) if tiny else (10, 3)
+    samples = _timed_windows(lambda: f(key),
+                             lambda r: jax.block_until_ready(r["rgb"]),
+                             n, reps)
+    med_ms, _ = _median_iqr_ms(samples)
+    return R / (med_ms / 1000.0)
+
+
+def prev_round_value():
+    """Newest BENCH_r*.json primary value, for vs_prev_round."""
+    best = None
+    for p in glob.glob("BENCH_r*.json"):
+        m = re.search(r"BENCH_r(\d+)\.json", p)
+        if not m:
+            continue
+        try:
+            parsed = json.load(open(p)).get("parsed") or {}
+            v = parsed.get("value")
+        except Exception:
+            continue
+        if v is not None and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), float(v))
+    return best[1] if best else None
 
 
 def main():
     tiny = bool(os.environ.get("BENCH_TINY"))
-    steps_per_sec, mfu = bench_teacher(tiny)
-    extra = {"teacher_mfu_pct": round(mfu, 2)}
+    steps_per_sec, teacher_iqr_ms, mfu = bench_teacher(tiny)
+    extra = {"teacher_mfu_pct": round(mfu, 2),
+             "teacher_iqr_ms": round(teacher_iqr_ms, 2)}
     try:
-        extra["full_sds_iter_ms"] = round(bench_full_sds_iter(tiny), 1)
+        (iter_ms, iter_iqr), e2e = bench_trainer(tiny)
+        extra["full_sds_iter_ms"] = round(iter_ms, 1)
+        extra["full_sds_iter_iqr_ms"] = round(iter_iqr, 2)
+        extra["e2e_slice"] = e2e
     except Exception as e:  # never lose the primary metric
         extra["full_sds_iter_ms"] = f"error: {type(e).__name__}: {str(e)[:200]}"
     try:
@@ -183,13 +259,17 @@ def main():
     except Exception as e:
         extra["sd2_denoise_steps_per_sec"] = f"error: {type(e).__name__}: {str(e)[:200]}"
 
-    print(json.dumps({
+    out = {
         "metric": "zero123plus_teacher_denoise_steps_per_sec_chip",
         "value": round(steps_per_sec, 3),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / A100_REF_STEPS_PER_SEC, 3),
         "extra": extra,
-    }))
+    }
+    prev = prev_round_value()
+    if prev:
+        out["vs_prev_round"] = round(steps_per_sec / prev, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

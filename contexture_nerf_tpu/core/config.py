@@ -137,6 +137,16 @@ class OptimConfig:
     resume: bool = False
     # Save a full checkpoint (params + opt state + RNG key) every N SDS iters
     checkpoint_interval: int = 1000
+    # SDS tile sampling distribution over the 6 grid tiles: 'uniform'
+    # reproduces the reference (random.randint(0,5), trainer.py:843);
+    # 'mixed' (default) = 0.5 uniform floor + 0.5 view-weight, so views with
+    # zero best-view pixels still receive gradients; 'weighted' = pure
+    # view-weight proportions.
+    tile_weighting: str = "mixed"
+    # Precompute the Fourier embedding of the static grid UVs and evaluate
+    # the fused precomputed-embedding kernel in the hot loop (~18 ms/iter
+    # faster, costs ~314 MB HBM residency — see docs/PERF.md headroom).
+    precompute_uv_embedding: bool = False
     # Student render in the SDS loop: False (default) queries the texture MLP
     # directly at the crop-resized rasterized UVs (dense MXU math, ~10x faster
     # on TPU); True reproduces the reference's lattice->bilinear-sample->
@@ -147,6 +157,11 @@ class OptimConfig:
     # visible devices (tests use this on the virtual 8-CPU mesh); 'off'
     # keeps the step single-device.
     data_parallel: str = "auto"
+    # Tensor-parallel degree for the diffusion towers inside the SDS step:
+    # devices form a (views x tp) mesh and teacher/VAE params take
+    # Megatron-style shardings (parallel/tp.py). 1 = off. Requires
+    # data_parallel != 'off' and device count divisible by the degree.
+    tensor_parallel: int = 1
 
 
 @dataclass

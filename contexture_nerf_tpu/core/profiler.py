@@ -26,18 +26,35 @@ import jax
 
 
 class Timings:
+    """Per-phase wall-clock stats. The FIRST call of each phase is reported
+    separately — under jit it includes compilation, and folding it into the
+    mean makes low-count phases read as absurd "means" (a one-compile
+    sds_step once looked like a 323 s mean)."""
+
     def __init__(self):
+        self.first: Dict[str, float] = {}
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
 
     def add(self, name: str, dt: float):
-        self.totals[name] += dt
-        self.counts[name] += 1
+        if name not in self.first:
+            self.first[name] = dt
+        else:
+            self.totals[name] += dt
+            self.counts[name] += 1
 
     def summary(self) -> Dict[str, Dict[str, float]]:
-        return {k: {"total_s": self.totals[k], "count": self.counts[k],
-                    "mean_ms": 1000 * self.totals[k] / max(self.counts[k], 1)}
-                for k in self.totals}
+        out = {}
+        for k in self.first:
+            n = self.counts[k]
+            out[k] = {
+                "first_call_s": round(self.first[k], 4),
+                "steady_count": n,
+                "steady_mean_ms": round(1000 * self.totals[k] / n, 3)
+                if n else None,
+                "total_s": round(self.first[k] + self.totals[k], 4),
+            }
+        return out
 
     def dump(self, path: Path):
         Path(path).write_text(json.dumps(self.summary(), indent=1))

@@ -96,6 +96,84 @@ def _per_face_unwrap(faces: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return vt, ft
 
 
+def _coverage_count(uv: np.ndarray, ft: np.ndarray, G: int = 128
+                    ) -> np.ndarray:
+    """Rasterized coverage count of triangles `ft` over `uv`, on a G^2 grid
+    spanning the uv bbox. Texel centers strictly inside a triangle count;
+    shared edges therefore do not double-count."""
+    lo = uv.min(axis=0)
+    span = np.maximum(uv.max(axis=0) - lo, 1e-12)
+    uvn = (uv - lo) / span * G
+    cover = np.zeros((G, G), np.int32)
+    for tri in ft:
+        p = uvn[tri]  # (3,2)
+        x0, y0 = np.floor(p.min(axis=0)).astype(int)
+        x1, y1 = np.ceil(p.max(axis=0)).astype(int)
+        x0, y0 = max(x0, 0), max(y0, 0)
+        x1, y1 = min(x1, G), min(y1, G)
+        if x1 <= x0 or y1 <= y0:
+            continue
+        xs = np.arange(x0, x1) + 0.5
+        ys = np.arange(y0, y1) + 0.5
+        gx, gy = np.meshgrid(xs, ys, indexing="xy")
+        d = np.stack([gx - p[0, 0], gy - p[0, 1]], axis=-1)
+        e1 = p[1] - p[0]
+        e2 = p[2] - p[0]
+        det = e1[0] * e2[1] - e1[1] * e2[0]
+        if abs(det) < 1e-12:
+            continue
+        a = (d[..., 0] * e2[1] - d[..., 1] * e2[0]) / det
+        b = (e1[0] * d[..., 1] - e1[1] * d[..., 0]) / det
+        eps = 1e-6
+        inside = (a > eps) & (b > eps) & (a + b < 1 - eps)
+        cover[y0:y1, x0:x1] += inside.astype(np.int32)
+    return cover
+
+
+def _overlap_frac(uv: np.ndarray, ft: np.ndarray, G: int = 128) -> float:
+    cover = _coverage_count(uv, ft, G)
+    covered = int((cover > 0).sum())
+    return float((cover > 1).sum()) / max(covered, 1)
+
+
+def _charts_from_ft(ft: np.ndarray) -> np.ndarray:
+    """Chart label per face, via union-find over shared vt indices (welded
+    charts share uv vertices; distinct charts never do)."""
+    n = int(ft.max()) + 1
+    parent = np.arange(n)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for tri in ft:
+        r = find(tri[0])
+        for b in tri[1:]:
+            rb = find(b)
+            if rb != r:
+                parent[rb] = r
+    roots = np.array([find(v) for v in ft[:, 0]])
+    _, labels = np.unique(roots, return_inverse=True)
+    return labels
+
+
+def _chart_overlaps(vt: np.ndarray, ft: np.ndarray,
+                    thr: float = 0.05) -> bool:
+    """True if any welded multi-face chart self-overlaps in UV space (the
+    failure mode a seed-normal cone cannot rule out: ramps/spirals whose
+    normals stay inside the cone but whose planar projections collide)."""
+    labels = _charts_from_ft(ft)
+    for cid in range(labels.max() + 1):
+        fids = np.nonzero(labels == cid)[0]
+        if len(fids) < 2:
+            continue
+        if _overlap_frac(vt, ft[fids]) > thr:
+            return True
+    return False
+
+
 def atlas_unwrap(vertices: np.ndarray, faces: np.ndarray,
                  angle_thr_deg: float = 75.0,
                  gutter: float = 4.0 / 1024.0
@@ -117,19 +195,21 @@ def atlas_unwrap(vertices: np.ndarray, faces: np.ndarray,
     from contexture_nerf_tpu.native.objio import chart_unwrap_native
 
     native = chart_unwrap_native(vertices, faces, angle_thr_deg, gutter)
-    if native is not None:
+    if native is not None and not _chart_overlaps(*native):
         return native
+    # native result with a self-overlapping chart (seed-normal cones admit
+    # ramps/spirals that collide in the seed plane and would silently map
+    # distinct surface regions to the same texels) falls through to the
+    # numpy path, which demotes offending charts to per-face singletons.
 
     F = faces.shape[0]
     chart = _grow_charts(vertices, faces, angle_thr_deg)
     n_charts = int(chart.max()) + 1
     normals = _face_normals(vertices, faces)
 
-    charts = []  # per chart: (face ids, welded uvs (k,2), ft_local (m,3))
-    for cid in range(n_charts):
-        fids = np.nonzero(chart == cid)[0]
-        seed_n = normals[fids[0]]
-        # orthonormal tangent basis for the seed plane
+    def project_chart(fids, seed_n):
+        """(welded uvs (k,2), ft_local (m,3)) by orthographic projection
+        onto the plane with normal seed_n."""
         up = np.array([0.0, 1.0, 0.0])
         if abs(float(seed_n @ up)) > 0.9:
             up = np.array([1.0, 0.0, 0.0])
@@ -142,7 +222,21 @@ def atlas_unwrap(vertices: np.ndarray, faces: np.ndarray,
         uv = np.stack([p @ u, p @ v], axis=-1)
         uv -= uv.min(axis=0)
         ft_local = np.vectorize(local.get)(faces[fids])
-        charts.append((fids, uv.astype(np.float64), ft_local))
+        return uv.astype(np.float64), ft_local
+
+    charts = []  # per chart: (face ids, welded uvs (k,2), ft_local (m,3))
+    for cid in range(n_charts):
+        fids = np.nonzero(chart == cid)[0]
+        uv, ft_local = project_chart(fids, normals[fids[0]])
+        if len(fids) > 1 and _overlap_frac(uv, ft_local) > 0.05:
+            # self-overlapping projection: demote to per-face singleton
+            # charts, each on its own face plane (always injective)
+            for f in fids:
+                fi = np.asarray([f])
+                charts.append((fi, *project_chart(fi, normals[f])))
+        else:
+            charts.append((fids, uv, ft_local))
+    n_charts = len(charts)
 
     # shelf packing at uniform density: binary-search the global scale
     sizes = np.array([c[1].max(axis=0) if len(c[1]) else (0, 0)

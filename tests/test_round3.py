@@ -1,0 +1,228 @@
+"""Round-3 changes: tile-weighting modes, edit-mask localization, the
+precomputed-embedding config path, incremental metrics persistence, and the
+chart-overlap guard in the UV unwrap (ADVICE r2 items 1-5)."""
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import contexture_nerf_tpu.training.trainer as trainer_mod
+from contexture_nerf_tpu.core.config import config_from_dict
+from contexture_nerf_tpu.training.trainer import ConTEXTure
+
+
+@pytest.fixture(scope="module")
+def sphere_obj(tmp_path_factory):
+    from tools.make_shapes import uv_sphere, write_obj
+
+    d = tmp_path_factory.mktemp("shapes")
+    p = d / "sphere.obj"
+    write_obj(p, *uv_sphere(8, 12))
+    return str(p)
+
+
+def _tiny_cfg(sphere_obj, tmp_path, name, iters=1, **optim):
+    return config_from_dict({
+        "log": {"exp_name": name, "exp_root": str(tmp_path),
+                "eval_size": 1, "full_eval_size": 1, "log_images": False,
+                "save_mesh": False},
+        "render": {"train_grid_size": 48, "eval_grid_size": 48},
+        "guide": {"text": "a test", "shape_path": sphere_obj,
+                  "texture_resolution": 16},
+        "optim": {"seed": 0, "sds_iterations": iters, **optim},
+    })
+
+
+# ---------------------------------------------------------------------------
+# tile weighting (ADVICE 1)
+# ---------------------------------------------------------------------------
+
+def test_tile_weighting_modes(sphere_obj, tmp_path):
+    cfg = _tiny_cfg(sphere_obj, tmp_path, "tiles")
+    tr = ConTEXTure(cfg, tiny_models=True, backend="xla")
+
+    cfg.optim.tile_weighting = "uniform"
+    probs_u = np.asarray(tr.prepare_sds(skip_bootstrap=True)["tile_probs"])
+    np.testing.assert_allclose(probs_u, np.full(6, 1 / 6), atol=1e-6)
+
+    cfg.optim.tile_weighting = "mixed"
+    probs_m = np.asarray(tr.prepare_sds(skip_bootstrap=True)["tile_probs"])
+    assert probs_m.min() >= 1 / 12 - 1e-6  # uniform floor: no starved view
+    np.testing.assert_allclose(probs_m.sum(), 1.0, atol=1e-6)
+
+    cfg.optim.tile_weighting = "weighted"
+    probs_w = np.asarray(tr.prepare_sds(skip_bootstrap=True)["tile_probs"])
+    np.testing.assert_allclose(probs_w.sum(), 1.0, atol=1e-6)
+    # mixed is exactly the half-blend of the other two
+    np.testing.assert_allclose(probs_m, 0.5 * probs_u + 0.5 * probs_w,
+                               atol=1e-6)
+
+    cfg.optim.tile_weighting = "bogus"
+    with pytest.raises(ValueError, match="tile_weighting"):
+        tr.prepare_sds(skip_bootstrap=True)
+
+
+# ---------------------------------------------------------------------------
+# reference_texture edit localization (ADVICE 5)
+# ---------------------------------------------------------------------------
+
+def _one_step_param_delta(tr, setup):
+    import optax
+
+    step, optimizer, hot = tr._build_sds_step(setup, None)
+    params = tr.texture_params
+    opt_state = optimizer.init(params)
+    t = jnp.asarray([500], jnp.int32)
+    new_params, *_ = step(params, opt_state, t, jax.random.PRNGKey(1), hot)
+    return sum(float(jnp.abs(a - b).sum()) for a, b in
+               zip(jax.tree.leaves(params), jax.tree.leaves(new_params)))
+
+
+def test_edit_change_mask_localizes_gradients(sphere_obj, tmp_path):
+    cfg = _tiny_cfg(sphere_obj, tmp_path, "editmask")
+    tr = ConTEXTure(cfg, tiny_models=True, backend="xla")
+    res = cfg.guide.texture_resolution
+
+    # all-zero change mask -> every texel is 'unedited' -> no SDS gradient
+    tr.edit_change_mask = jnp.zeros((1, res, res))
+    setup = tr.prepare_sds(skip_bootstrap=True)
+    assert setup["edit_mask_pts"] is not None
+    assert _one_step_param_delta(tr, setup) == 0.0
+
+    # all-one mask -> full gradient flow
+    tr.edit_change_mask = jnp.ones((1, res, res))
+    setup = tr.prepare_sds(skip_bootstrap=True)
+    assert _one_step_param_delta(tr, setup) > 0.0
+
+    # no mask -> hot arg is None and training proceeds
+    tr.edit_change_mask = None
+    setup = tr.prepare_sds(skip_bootstrap=True)
+    assert setup["edit_mask_pts"] is None
+
+
+# ---------------------------------------------------------------------------
+# precomputed-embedding path (ADVICE 3)
+# ---------------------------------------------------------------------------
+
+def test_precompute_uv_embedding_consumed(sphere_obj, tmp_path, monkeypatch):
+    cfg = _tiny_cfg(sphere_obj, tmp_path, "embpts",
+                    precompute_uv_embedding=True)
+    tr = ConTEXTure(cfg, tiny_models=True, backend="xla")
+
+    # ineligible off-TPU -> warning-skip, plumbing stays None
+    setup = tr.prepare_sds(skip_bootstrap=True)
+    assert setup["emb_pts"] is None
+
+    # interpret-mode eligibility: emb_pts is populated AND consumed, and the
+    # step loss matches the uv-path loss (same rng)
+    monkeypatch.setattr(trainer_mod, "_FUSED_EMB_INTERPRET", True)
+    setup_emb = tr.prepare_sds(skip_bootstrap=True)
+    assert setup_emb["emb_pts"] is not None
+
+    def one_loss(setup):
+        import optax
+
+        step, optimizer, hot = tr._build_sds_step(setup, None)
+        params = tr.texture_params
+        opt_state = optimizer.init(params)
+        t = jnp.asarray([500], jnp.int32)
+        out = step(params, opt_state, t, jax.random.PRNGKey(2), hot)
+        return float(out[2])
+
+    loss_emb = one_loss(setup_emb)
+    monkeypatch.setattr(trainer_mod, "_FUSED_EMB_INTERPRET", False)
+    cfg.optim.precompute_uv_embedding = False
+    loss_uv = one_loss(tr.prepare_sds(skip_bootstrap=True))
+    np.testing.assert_allclose(loss_emb, loss_uv, rtol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# incremental metrics persistence (ADVICE 2)
+# ---------------------------------------------------------------------------
+
+def test_metrics_survive_interruption(sphere_obj, tmp_path):
+    cfg = _tiny_cfg(sphere_obj, tmp_path, "interrupted", iters=3,
+                    checkpoint_interval=1)
+    tr = ConTEXTure(cfg, tiny_models=True, backend="xla")
+    orig = tr.save_checkpoint
+
+    def dying_save(params, opt_state, iteration):
+        orig(params, opt_state, iteration)
+        if iteration == 2:
+            raise RuntimeError("simulated crash")
+
+    tr.save_checkpoint = dying_save
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        tr.paint()
+    # metrics.json written at the iter-1 checkpoint survives the crash
+    metrics = json.loads((Path(cfg.log.exp_dir) / "metrics.json").read_text())
+    assert any(m["iter"] == 0 for m in metrics)
+
+
+# ---------------------------------------------------------------------------
+# chart-overlap guard (ADVICE 4)
+# ---------------------------------------------------------------------------
+
+def _spiral_ramp(turns=2.0, segs=48):
+    """Parking-garage ramp: an annular strip winding `turns` times with a
+    gentle slope. All face normals stay near +z (inside any 75-degree seed
+    cone) yet successive turns overlap in the seed-plane projection."""
+    thetas = np.linspace(0, 2 * np.pi * turns, segs)
+    z = 0.02 * thetas
+    inner = np.stack([0.8 * np.cos(thetas), 0.8 * np.sin(thetas), z], -1)
+    outer = np.stack([1.2 * np.cos(thetas), 1.2 * np.sin(thetas), z], -1)
+    verts = np.concatenate([inner, outer]).astype(np.float32)
+    faces = []
+    for i in range(segs - 1):
+        a, b = i, i + 1
+        c, d = segs + i, segs + i + 1
+        faces.append([a, c, b])
+        faces.append([b, c, d])
+    return verts, np.asarray(faces, np.int64)
+
+
+def test_overlap_helpers():
+    from contexture_nerf_tpu.models.textured_mesh import (_chart_overlaps,
+                                                          _overlap_frac)
+
+    # two disjoint triangles: no overlap
+    uv = np.array([[0, 0], [1, 0], [0, 1],
+                   [2, 0], [3, 0], [2, 1]], np.float64)
+    ft = np.array([[0, 1, 2], [3, 4, 5]])
+    assert _overlap_frac(uv, ft) < 0.01
+    assert not _chart_overlaps(uv, ft)
+    # coincident triangles in one welded chart: overlap
+    uv2 = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.float64)
+    ft2 = np.array([[0, 1, 2], [1, 3, 2]])  # clean quad: share the diagonal
+    uv3 = np.array([[0, 0], [1, 0], [0, 1], [0.4, 0.4]], np.float64)
+    ft3 = np.array([[0, 1, 2], [0, 1, 3]])  # second tri inside the first
+    assert _overlap_frac(uv3, ft3) > 0.05
+    assert _chart_overlaps(uv3, ft3)
+    assert not _chart_overlaps(uv2, ft2)
+
+
+def test_spiral_ramp_unwrap_has_no_overlap():
+    from contexture_nerf_tpu.models.textured_mesh import (_overlap_frac,
+                                                          atlas_unwrap)
+
+    verts, faces = _spiral_ramp()
+    vt, ft = atlas_unwrap(verts, faces)
+    # the final atlas maps distinct surface regions to distinct texels
+    assert _overlap_frac(vt, ft, G=256) < 0.02
+    assert vt.min() >= 0.0 and vt.max() <= 1.0
+    assert ft.shape == faces.shape
+
+
+def test_clean_mesh_unwrap_still_welds(tiny_mesh_obj):
+    """The overlap guard must not demote healthy charts: a flat two-triangle
+    mesh keeps one welded chart (faces share vt indices)."""
+    from contexture_nerf_tpu.models.textured_mesh import atlas_unwrap
+
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2], [1, 3, 2]], np.int64)
+    vt, ft = atlas_unwrap(verts, faces)
+    assert len(set(ft[0]) & set(ft[1])) == 2  # shared edge stays welded
