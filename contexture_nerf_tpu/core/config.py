@@ -162,6 +162,11 @@ class OptimConfig:
     # Megatron-style shardings (parallel/tp.py). 1 = off. Requires
     # data_parallel != 'off' and device count divisible by the degree.
     tensor_parallel: int = 1
+    # Sequence/context-parallel degree: devices form a (views x sp) mesh and
+    # the teacher's long self-attention (incl. the reference-attention
+    # doubled KV) runs as ring attention over the sp axis (parallel/ring.py,
+    # SURVEY.md §2.3). 1 = off. Mutually exclusive with tensor_parallel.
+    sequence_parallel: int = 1
 
 
 @dataclass
@@ -230,8 +235,12 @@ def _coerce(value: Any, ftype: Any, name: str) -> Any:
     return value
 
 
-def _build_dataclass(cls, data: dict):
+def _build_dataclass(cls, data: dict, section: str = "",
+                     unknown: Optional[list] = None):
     kwargs = {}
+    names = {f.name for f in fields(cls)}
+    if unknown is not None:
+        unknown.extend(f"{section}.{k}" for k in data if k not in names)
     for f in fields(cls):
         if f.name in data:
             v = data[f.name]
@@ -245,16 +254,31 @@ def _build_dataclass(cls, data: dict):
     return cls(**kwargs)
 
 
-def config_from_dict(data: dict) -> TrainConfig:
+def config_from_dict(data: dict, strict: bool = False) -> TrainConfig:
+    """Build a TrainConfig. Unknown keys are warned-and-ignored by default
+    (strict=True raises) — the reference's pyrallis hard-rejects them, which
+    makes its own shipped mickey.yaml/beachball.yaml unrunnable (stale
+    guidance_scale_crossattn/concat/control keys, SURVEY.md §5 gotcha); the
+    warning keeps those mirrors runnable while still surfacing typos."""
+    import logging
+
     sections = {
         "log": LogConfig,
         "render": RenderConfig,
         "optim": OptimConfig,
         "guide": GuideConfig,
     }
+    unknown: list = [k for k in data if k not in sections]
     built = {}
     for key, cls in sections.items():
-        built[key] = _build_dataclass(cls, data.get(key, {}) or {})
+        built[key] = _build_dataclass(cls, data.get(key, {}) or {},
+                                      section=key, unknown=unknown)
+    if unknown:
+        msg = (f"unknown config keys ignored: {', '.join(unknown)} "
+               "(the reference's pyrallis would reject these)")
+        if strict:
+            raise ValueError(msg)
+        logging.getLogger("contexture_nerf_tpu").warning(msg)
     return TrainConfig(**built)
 
 

@@ -1,11 +1,11 @@
 """TPU-gated golden regression: Pallas rasterizer vs the reference's saved
-depth tensor. Run with RUN_TPU_TESTS=1 on a TPU host (skipped on CPU CI —
+depth tensors. Run with RUN_TPU_TESTS=1 on a TPU host (skipped on CPU CI —
 the 1200^2 raster is a TPU workload).
 
-Golden provenance: shapes/spot_depth_side.pt is a 817^2 crop of a 1200^2
-render of spot_triangulated.obj at (theta=60deg, phi=90deg, r=1.5,
-look_at_height=0.25, fovy=pi/3), normalized with the old-TEXTure min_val=0.5
-depth normalization (see SURVEY.md §4; calibration notes in
+Golden provenance: shapes/spot_depth_{front,side}.pt are square crops of
+1200^2 renders of spot_triangulated.obj at (theta=60deg, phi={0,90}deg,
+r=1.5, look_at_height=0.25, fovy=pi/3), normalized with the old-TEXTure
+min_val=0.5 depth normalization (see SURVEY.md §4; calibration notes in
 raster/rasterize.py docstring)."""
 
 import os
@@ -21,13 +21,16 @@ pytestmark = pytest.mark.skipif(
     reason="TPU-gated golden test (set RUN_TPU_TESTS=1 on a TPU host)")
 
 
-def test_spot_depth_side_golden():
+@pytest.mark.parametrize("golden_name,phi_deg", [
+    ("spot_depth_side.pt", 90.0),
+    ("spot_depth_front.pt", 0.0),  # camera-path coverage (VERDICT r2 #6)
+])
+def test_spot_depth_golden(golden_name, phi_deg):
     import jax
     import jax.numpy as jnp
     import torch
 
     from contexture_nerf_tpu.models.mesh import Mesh
-    from contexture_nerf_tpu.ops.image import get_nonzero_region_tuple
     from contexture_nerf_tpu.raster import camera as cam
     from contexture_nerf_tpu.raster.pallas_raster import (
         rasterize_geometry_pallas)
@@ -35,14 +38,14 @@ def test_spot_depth_side_golden():
 
     assert jax.default_backend() != "cpu"
 
-    golden = torch.load(REF / "spot_depth_side.pt",
+    golden = torch.load(REF / golden_name,
                         map_location="cpu")[0, 0].numpy()
     mesh = Mesh.load(str(REF / "spot_triangulated.obj")).normalize_mesh(
         True, 0.6, 0.25)
 
     proj = cam.perspective_projection(np.pi / 3)
     ct = cam.get_camera_from_view(jnp.asarray([np.deg2rad(60.0)]),
-                                  jnp.asarray([np.deg2rad(90.0)]),
+                                  jnp.asarray([np.deg2rad(phi_deg)]),
                                   jnp.asarray([1.5]), 0.25)
     fvc, fvi, _ = cam.prepare_vertices(jnp.asarray(mesh.vertices),
                                        jnp.asarray(mesh.faces), proj, ct)
@@ -68,4 +71,4 @@ def test_spot_depth_side_golden():
                 continue
             crop = depth[h0:h0 + size, w0:w0 + size]
             best = min(best, float(np.abs(crop - golden).mean()))
-    assert best < 0.005, f"golden depth MAE {best}"
+    assert best < 0.005, f"{golden_name} MAE {best}"

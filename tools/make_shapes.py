@@ -143,6 +143,20 @@ STANDINS = {
         ellipsoid((0.18, 0.22, 0.18), (0.0, 0.85, 0.0), n_lat=10, n_lon=14),
         *[box((0.12, 0.75, 0.12), (x, -1.0, 0.0)) for x in (-0.18, 0.18)],
         *[box((0.1, 0.6, 0.1), (x, 0.2, 0.0)) for x in (-0.48, 0.48)]),
+    # person (texfusion_dataset/Text2Mesh/person.obj, astronaut.yaml): same
+    # schematic humanoid
+    "person": lambda: STANDINS["human"](),
+    # cartoon-mouse stand-in: round body + head + two disc ears
+    "mickey": lambda: merge(
+        ellipsoid((0.45, 0.55, 0.4), (0.0, -0.4, 0.0)),
+        ellipsoid((0.35, 0.35, 0.35), (0.0, 0.35, 0.0), n_lat=12, n_lon=16),
+        ellipsoid((0.2, 0.2, 0.06), (-0.32, 0.75, 0.0), n_lat=8, n_lon=10),
+        ellipsoid((0.2, 0.2, 0.06), (0.32, 0.75, 0.0), n_lat=8, n_lon=10)),
+    # rectangular-sponge stand-in: body box + two legs + two arms
+    "spongebob": lambda: merge(
+        box((0.9, 1.1, 0.45)),
+        *[box((0.1, 0.5, 0.1), (x, -0.95, 0.0)) for x in (-0.25, 0.25)],
+        *[box((0.4, 0.1, 0.1), (x, 0.0, 0.0)) for x in (-0.62, 0.62)]),
 }
 
 

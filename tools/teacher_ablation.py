@@ -1,0 +1,214 @@
+"""Teacher-step ablation: where do the 97 ms go? (VERDICT r2 'attack MFU').
+
+Measures on the real chip, full-size bf16 stacks, the real 120x80 grid latent:
+  total           — the production _cfg_v_pred (write + controlnet + main)
+  total_xla_attn  — same with the XLA attention fallback (flash kernel delta)
+  write / controlnet / main — the three sub-passes timed standalone
+  total_fake_gn   — GroupNorm statistics replaced by scale*x+bias (upper
+                    bound on what a fused GroupNorm kernel could recover)
+
+Usage: python tools/teacher_ablation.py [--mode MODE]
+Modes run in one process sequentially; each prints one JSON line.
+"""
+
+import argparse
+import functools
+import json
+import os
+import statistics
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "axon,tpu,cpu")
+
+
+def timeit(fn, ready, n=20, reps=3):
+    out = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(n):
+            r = fn()
+        ready(r)
+        out.append((time.perf_counter() - t0) / n)
+    return statistics.median(out) * 1000.0
+
+
+def build(fake_gn=False):
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    if fake_gn:
+        class FakeGN(nn.Module):
+            """Same params as GroupNorm (scale, bias) but no statistics —
+            isolates the normalization-reduction cost. Keeps the input
+            dtype (upcasting to f32 here would silently make every
+            downstream conv f32 and invert the measurement)."""
+
+            num_groups: int = 32
+            epsilon: float = 1e-5
+            dtype: object = None
+
+            @nn.compact
+            def __call__(self, x):
+                c = x.shape[-1]
+                scale = self.param("scale", nn.initializers.ones, (c,))
+                bias = self.param("bias", nn.initializers.zeros, (c,))
+                return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+        def fake_groupnorm(num_groups=32, epsilon=1e-5, dtype=None,
+                           name=None, **kw):
+            return FakeGN(num_groups=num_groups, epsilon=epsilon,
+                          dtype=dtype, name=name)
+
+        nn.GroupNorm = fake_groupnorm  # process-wide; fakegn runs last
+
+    from contexture_nerf_tpu.diffusion.zero123plus import Zero123PlusPipeline
+
+    return Zero123PlusPipeline(tiny=False, dtype=jnp.bfloat16, seed=0)
+
+
+def teacher_args(pipe):
+    import jax
+    import jax.numpy as jnp
+
+    h, w = 120, 80
+    return dict(
+        latents=jnp.zeros((1, 4, h, w), jnp.float32),
+        cond_lat_pair=jnp.zeros((2, 4, 40, 40), jnp.float32),
+        ehs=jnp.zeros((2, 77, pipe.text_config.hidden_size), jnp.float32),
+        depth=jnp.zeros((1, 3, h * 8, w * 8), jnp.float32),
+        t=jnp.asarray([500], jnp.int32),
+        key=jax.random.PRNGKey(0),
+    )
+
+
+def bench_total(pipe, use_pallas=None):
+    import jax
+
+    if use_pallas is not None:
+        import contexture_nerf_tpu.diffusion.layers as L
+        from contexture_nerf_tpu.ops import attention as A
+
+        L.attention = functools.partial(A.attention, use_pallas=use_pallas)
+    a = teacher_args(pipe)
+
+    def f(params, latents, t, clp, ehs, depth):
+        return pipe._cfg_v_pred(params, latents, t, clp, ehs, depth, 10.0,
+                                a["key"], scale_input=lambda x: x)
+
+    jitted = jax.jit(f)
+    args = (pipe.params, a["latents"], a["t"], a["cond_lat_pair"],
+            a["ehs"], a["depth"])
+    jax.block_until_ready(jitted(*args))
+    return timeit(lambda: jitted(*args), jax.block_until_ready)
+
+
+def bench_parts(pipe):
+    import jax
+    import jax.numpy as jnp
+
+    from contexture_nerf_tpu.diffusion import schedulers as sch
+
+    a = teacher_args(pipe)
+    B, nb = 1, 2
+    cond_lats = jnp.repeat(a["cond_lat_pair"], B, axis=0)
+    ehs = jnp.repeat(a["ehs"], B, axis=0)
+    noise = jnp.zeros_like(cond_lats)
+    noisy_cond = sch.add_noise(pipe.alphas_cumprod, cond_lats, noise,
+                               jnp.broadcast_to(a["t"], (cond_lats.shape[0],)))
+    lat_in = jnp.concatenate([a["latents"]] * nb)
+    depth_all = jnp.concatenate([a["depth"]] * nb)
+
+    def write(params, noisy_cond, t, ehs):
+        ref = []
+        pipe.unet.apply(params["unet"], noisy_cond, t, ehs, ref_out=ref)
+        return ref
+
+    def cn(params, lat_in, t, ehs, depth_all):
+        return pipe.controlnet.apply(params["controlnet"], lat_in, t, ehs,
+                                     depth_all, 2.0)
+
+    def main(params, lat_in, t, ehs, noisy_cond, depth_all):
+        ref = []
+        pipe.unet.apply(params["unet"], noisy_cond, t, ehs, ref_out=ref)
+        downs, mid = pipe.controlnet.apply(params["controlnet"], lat_in, t,
+                                           ehs, depth_all, 2.0)
+        v = pipe.unet.apply(params["unet"], lat_in, t, ehs,
+                            down_residuals=downs, mid_residual=mid,
+                            ref_kv_list=ref)
+        return v
+
+    jw = jax.jit(write)
+    jc = jax.jit(cn)
+    jm = jax.jit(main)
+    out = {}
+    jax.block_until_ready(jw(pipe.params, noisy_cond, a["t"], ehs))
+    out["write_ms"] = timeit(lambda: jw(pipe.params, noisy_cond, a["t"],
+                                        ehs), jax.block_until_ready)
+    jax.block_until_ready(jc(pipe.params, lat_in, a["t"], ehs, depth_all))
+    out["controlnet_ms"] = timeit(
+        lambda: jc(pipe.params, lat_in, a["t"], ehs, depth_all),
+        jax.block_until_ready)
+    jax.block_until_ready(jm(pipe.params, lat_in, a["t"], ehs, noisy_cond,
+                             depth_all))
+    out["write_cn_main_ms"] = timeit(
+        lambda: jm(pipe.params, lat_in, a["t"], ehs, noisy_cond, depth_all),
+        jax.block_until_ready)
+    return out
+
+
+def check_kernel():
+    """Compiled-on-chip two-source flash kernel vs XLA reference."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from contexture_nerf_tpu.ops.attention import (_xla_attention,
+                                                   flash_attention_pallas)
+
+    k = jax.random.PRNGKey(0)
+    ks = jax.random.split(k, 5)
+    q = jax.random.normal(ks[0], (2, 4, 9600, 64), jnp.bfloat16)
+    kk = jax.random.normal(ks[1], (2, 4, 9600, 64), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (2, 4, 9600, 64), jnp.bfloat16)
+    ek = jax.random.normal(ks[3], (2, 4, 9600, 64), jnp.bfloat16)
+    ev = jax.random.normal(ks[4], (2, 4, 9600, 64), jnp.bfloat16)
+    ref = jax.jit(_xla_attention)(q, jnp.concatenate([kk, ek], 2),
+                                  jnp.concatenate([v, ev], 2))
+    out = flash_attention_pallas(q, kk, v, ek, ev)
+    err = float(jnp.abs(out.astype(jnp.float32)
+                        - ref.astype(jnp.float32)).max())
+    assert err < 3e-2, f"compiled two-source kernel mismatch: {err}"
+    return err
+
+
+def main():
+    import gc
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="all",
+                    choices=["all", "check", "total", "xla", "parts",
+                             "fakegn"])
+    args = ap.parse_args()
+    res = {}
+    if args.mode in ("all", "check"):
+        res["kernel_max_abs_err"] = check_kernel()
+    if args.mode in ("all", "total", "xla", "parts"):
+        pipe = build()
+        if args.mode in ("all", "total"):
+            res["total_ms"] = bench_total(pipe)
+        if args.mode in ("all", "xla"):
+            res["total_xla_attn_ms"] = bench_total(pipe, use_pallas=False)
+            bench_total(pipe, use_pallas=None)  # restore dispatch
+        if args.mode in ("all", "parts"):
+            res.update(bench_parts(pipe))
+        del pipe
+        gc.collect()
+    if args.mode in ("all", "fakegn"):
+        pipe = build(fake_gn=True)
+        res["total_fake_gn_ms"] = bench_total(pipe)
+    print(json.dumps({k: round(v, 4) for k, v in res.items()}))
+
+
+if __name__ == "__main__":
+    main()
