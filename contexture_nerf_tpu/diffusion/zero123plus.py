@@ -273,8 +273,24 @@ class Zero123PlusPipeline:
 
     # -- core UNet forward (ref-attn + controlnet + CFG) ------------------------
 
+    def embed_control_cond(self, params, depth_image, latent_hw):
+        """Precompute the ControlNet hint embedding for a depth image
+        (B,3,H,W), resized to 8x the latent grid. The embedding depends only
+        on the depth image — loop-invariant across SDS iterations — so the
+        trainer computes it once per run and passes it through
+        _cfg_v_pred(cn_cond_emb=...) (controlnet.embed_cond)."""
+        from contexture_nerf_tpu.diffusion.controlnet import embed_cond
+
+        th, tw = latent_hw[0] * 8, latent_hw[1] * 8
+        if depth_image.shape[2:] != (th, tw):
+            depth_image = jax.image.resize(
+                depth_image, depth_image.shape[:2] + (th, tw),
+                method="linear")
+        return embed_cond(params["controlnet"], self.unet_config,
+                          depth_image, dtype=self.dtype)
+
     def _cfg_core(self, params, latents, t, branch_cond_lats, branch_ehs,
-                  depth_image, key, scale_input):
+                  depth_image, key, scale_input, cn_cond_emb=None):
         """Run the ref-attn UNet + depth ControlNet over nb CFG branches and
         return the per-branch v-predictions as a list of (B,4,H,W) arrays.
 
@@ -309,7 +325,7 @@ class Zero123PlusPipeline:
         # depth image to 8x the latent grid (matters when the VAE's downsample
         # factor differs, e.g. tiny test configs)
         th, tw = latents.shape[2] * 8, latents.shape[3] * 8
-        if depth_image.shape[2:] != (th, tw):
+        if cn_cond_emb is None and depth_image.shape[2:] != (th, tw):
             depth_image = jax.image.resize(
                 depth_image, depth_image.shape[:2] + (th, tw),
                 method="linear")
@@ -320,9 +336,11 @@ class Zero123PlusPipeline:
         self.unet.apply(params["unet"], noisy_cond, t, ehs, ref_out=ref)
 
         depth_all = jnp.concatenate([depth_image] * nb)
+        emb_all = (None if cn_cond_emb is None else
+                   jnp.concatenate([cn_cond_emb] * nb))
         downs, mid = self.controlnet.apply(
             params["controlnet"], lat_in, t, ehs,
-            depth_all, self.conditioning_scale)
+            depth_all, self.conditioning_scale, cond_embedding=emb_all)
 
         v = self.unet.apply(params["unet"], lat_in, t, ehs,
                             down_residuals=downs, mid_residual=mid,
@@ -331,17 +349,17 @@ class Zero123PlusPipeline:
 
     def _cfg_v_pred(self, params, latents, t, cond_lat_pair,
                     encoder_hidden_states, depth_image, guidance_scale,
-                    key, scale_input):
+                    key, scale_input, cn_cond_emb=None):
         """Standard two-branch CFG: v_u + g * (v_c - v_u)."""
         v_uncond, v_cond = self._cfg_core(
             params, latents, t, cond_lat_pair, encoder_hidden_states,
-            depth_image, key, scale_input)
+            depth_image, key, scale_input, cn_cond_emb=cn_cond_emb)
         return v_uncond + guidance_scale * (v_cond - v_uncond)
 
     def _cfg_v_pred_individual(self, params, latents, t, cond_lat_pair,
                                encoder_hidden_states, depth_image,
                                guidance_scale_i, guidance_scale_t, key,
-                               scale_input):
+                               scale_input, cn_cond_emb=None):
         """Three-branch CFG with separate image/text guidance scales
         (guide.individual_control_of_conditions + guidance_scale_i/t,
         reference train_config.py:51-53; the reference's consuming branches
@@ -361,7 +379,7 @@ class Zero123PlusPipeline:
         branch_ehs = jnp.concatenate([uncond_e, uncond_e, cond_e])
         v_u, v_img, v_full = self._cfg_core(
             params, latents, t, branch_lats, branch_ehs, depth_image, key,
-            scale_input)
+            scale_input, cn_cond_emb=cn_cond_emb)
         return (v_u + guidance_scale_i * (v_img - v_u)
                 + guidance_scale_t * (v_full - v_img))
 

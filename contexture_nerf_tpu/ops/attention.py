@@ -20,6 +20,7 @@ top block — was staged per program).
 
 from __future__ import annotations
 
+import contextlib
 from functools import partial
 from typing import Optional
 
@@ -28,14 +29,60 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_Q_BLK = 256
-_KV_BLK = 512
 _NEG_INF = -1e30
+_MIN_SQ_PALLAS = 256
+
+# Sequence-parallel context (SURVEY.md §2.3): while active, attention()
+# routes eligible calls through parallel/ring.py's ring attention over the
+# given mesh axis. Trace-time state: set it around tracing a sharded step
+# (trainer._build_sds_step does this when optim.sequence_parallel > 1).
+_SEQ_PARALLEL = {"mesh": None, "axis": "sp", "min_seq": 256}
+
+
+@contextlib.contextmanager
+def sequence_parallel(mesh, axis: str = "sp", min_seq: int = 256):
+    """Route eligible attention() calls through ring attention while
+    tracing under this context."""
+    prev = dict(_SEQ_PARALLEL)
+    _SEQ_PARALLEL.update(mesh=mesh, axis=axis, min_seq=min_seq)
+    try:
+        yield
+    finally:
+        _SEQ_PARALLEL.update(prev)
+
+
+def _ring_eligible(q, k, extra_k):
+    mesh = _SEQ_PARALLEL["mesh"]
+    if mesh is None:
+        return False
+    n = mesh.shape[_SEQ_PARALLEL["axis"]]
+    if q.shape[2] < _SEQ_PARALLEL["min_seq"]:
+        return False
+    ok = q.shape[2] % n == 0 and k.shape[2] % n == 0
+    if extra_k is not None:
+        ok = ok and extra_k.shape[2] % n == 0
+    return ok
+
+
+def _pick_blocks(sq: int) -> tuple:
+    """(q_blk, kv_blk) per sequence length, from the on-chip sweep (r3,
+    chained-differenced timing at the real teacher shapes): large KV blocks
+    dominate throughput at long sequences (1024/1024: 15.2 ms at the
+    9.6k+9.6k ref-attn block vs 29.0 ms at 256/512); at short sequences the
+    padding waste flips the ordering. 2048-wide blocks exceed the 16 MB
+    VMEM scoped limit."""
+    if sq >= 4800:
+        return 1024, 1024
+    if sq >= 1024:
+        return 512, 1024
+    return 256, 512
 
 
 def _online_update(q, k, v, col0, limit, acc_ref, m_ref, l_ref):
     """One online-softmax step: scores of q (Qb,d) against k/v (Kb,d),
-    masking columns >= limit, folded into the running (acc, m, l) state."""
+    masking columns >= limit, folded into the running (acc, m, l) state.
+    Matmuls take the inputs' dtype (bf16-native on the MXU) with f32
+    accumulation; softmax state stays f32."""
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     col = col0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -47,14 +94,15 @@ def _online_update(q, k, v, col0, limit, acc_ref, m_ref, l_ref):
     scale = jnp.exp(m - m_new)
     l_new = l * scale + jnp.sum(p, axis=1, keepdims=True)
     acc_new = acc_ref[:] * scale + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     m_ref[:] = m_new
     l_ref[:] = l_new
     acc_ref[:] = acc_new
 
 
 def _flash_kernel_single(len_ref, q_ref, k_ref, v_ref, o_ref,
-                         acc_ref, m_ref, l_ref, *, nk):
+                         acc_ref, m_ref, l_ref, *, nk, kv_blk):
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -63,10 +111,8 @@ def _flash_kernel_single(len_ref, q_ref, k_ref, v_ref, o_ref,
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0].astype(jnp.float32)
-    _online_update(q, k_ref[0].astype(jnp.float32),
-                   v_ref[0].astype(jnp.float32),
-                   j * _KV_BLK, len_ref[0], acc_ref, m_ref, l_ref)
+    _online_update(q_ref[0], k_ref[0], v_ref[0],
+                   j * kv_blk, len_ref[0], acc_ref, m_ref, l_ref)
 
     @pl.when(j == nk - 1)
     def _():
@@ -75,7 +121,7 @@ def _flash_kernel_single(len_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 def _flash_kernel_two_source(len_ref, q_ref, k_ref, v_ref, ek_ref, ev_ref,
-                             o_ref, acc_ref, m_ref, l_ref, *, nk, ne):
+                             o_ref, acc_ref, m_ref, l_ref, *, nk, ne, kv_blk):
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -84,19 +130,15 @@ def _flash_kernel_two_source(len_ref, q_ref, k_ref, v_ref, ek_ref, ev_ref,
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0].astype(jnp.float32)
-
     @pl.when(j < nk)
     def _():
-        _online_update(q, k_ref[0].astype(jnp.float32),
-                       v_ref[0].astype(jnp.float32),
-                       j * _KV_BLK, len_ref[0], acc_ref, m_ref, l_ref)
+        _online_update(q_ref[0], k_ref[0], v_ref[0],
+                       j * kv_blk, len_ref[0], acc_ref, m_ref, l_ref)
 
     @pl.when(j >= nk)
     def _():
-        _online_update(q, ek_ref[0].astype(jnp.float32),
-                       ev_ref[0].astype(jnp.float32),
-                       (j - nk) * _KV_BLK, len_ref[1], acc_ref, m_ref, l_ref)
+        _online_update(q_ref[0], ek_ref[0], ev_ref[0],
+                       (j - nk) * kv_blk, len_ref[1], acc_ref, m_ref, l_ref)
 
     @pl.when(j == nk + ne - 1)
     def _():
@@ -126,6 +168,7 @@ def flash_attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     scale = 1.0 / (d_in ** 0.5)
     has_extra = extra_k is not None
     Se = extra_k.shape[2] if has_extra else 0
+    q_blk, kv_blk = _pick_blocks(Sq)
 
     def prep(x):
         # lane-align head_dim (zero-padding the contraction is exact)
@@ -136,52 +179,52 @@ def flash_attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     q = prep(q * scale)
     k = prep(k)
     v = prep(v)
-    q = _pad_to(q, 1, _Q_BLK)
-    k = _pad_to(k, 1, _KV_BLK)
-    v = _pad_to(v, 1, _KV_BLK)
-    nq = q.shape[1] // _Q_BLK
-    nk = k.shape[1] // _KV_BLK
+    q = _pad_to(q, 1, q_blk)
+    k = _pad_to(k, 1, kv_blk)
+    v = _pad_to(v, 1, kv_blk)
+    nq = q.shape[1] // q_blk
+    nk = k.shape[1] // kv_blk
 
     lens = jnp.asarray([Skv, Se], jnp.int32)
-    kv_spec = pl.BlockSpec((1, _KV_BLK, d),
+    kv_spec = pl.BlockSpec((1, kv_blk, d),
                            lambda b, i, j: (b, jnp.minimum(j, nk - 1), 0),
                            memory_space=pltpu.VMEM)
-    scratch = [pltpu.VMEM((_Q_BLK, d), jnp.float32),
-               pltpu.VMEM((_Q_BLK, 1), jnp.float32),
-               pltpu.VMEM((_Q_BLK, 1), jnp.float32)]
-    q_spec = pl.BlockSpec((1, _Q_BLK, d), lambda b, i, j: (b, i, 0),
+    scratch = [pltpu.VMEM((q_blk, d), jnp.float32),
+               pltpu.VMEM((q_blk, 1), jnp.float32),
+               pltpu.VMEM((q_blk, 1), jnp.float32)]
+    q_spec = pl.BlockSpec((1, q_blk, d), lambda b, i, j: (b, i, 0),
                           memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((1, _Q_BLK, d), lambda b, i, j: (b, i, 0),
+    o_spec = pl.BlockSpec((1, q_blk, d), lambda b, i, j: (b, i, 0),
                           memory_space=pltpu.VMEM)
     len_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     if has_extra:
-        ek = _pad_to(prep(extra_k), 1, _KV_BLK)
-        ev = _pad_to(prep(extra_v), 1, _KV_BLK)
-        ne = ek.shape[1] // _KV_BLK
+        ek = _pad_to(prep(extra_k), 1, kv_blk)
+        ev = _pad_to(prep(extra_v), 1, kv_blk)
+        ne = ek.shape[1] // kv_blk
         # second source: grid index clamped into [0, ne); each block fetched
         # once (pallas skips the copy while the block index is unchanged)
         ekv_spec = pl.BlockSpec(
-            (1, _KV_BLK, d),
+            (1, kv_blk, d),
             lambda b, i, j: (b, jnp.clip(j - nk, 0, ne - 1), 0),
             memory_space=pltpu.VMEM)
         out = pl.pallas_call(
-            partial(_flash_kernel_two_source, nk=nk, ne=ne),
+            partial(_flash_kernel_two_source, nk=nk, ne=ne, kv_blk=kv_blk),
             grid=(B * H, nq, nk + ne),
             in_specs=[len_spec, q_spec, kv_spec, kv_spec, ekv_spec,
                       ekv_spec],
             out_specs=o_spec,
-            out_shape=jax.ShapeDtypeStruct((B * H, nq * _Q_BLK, d), q.dtype),
+            out_shape=jax.ShapeDtypeStruct((B * H, nq * q_blk, d), q.dtype),
             scratch_shapes=scratch,
             interpret=interpret,
         )(lens, q, k, v, ek, ev)
     else:
         out = pl.pallas_call(
-            partial(_flash_kernel_single, nk=nk),
+            partial(_flash_kernel_single, nk=nk, kv_blk=kv_blk),
             grid=(B * H, nq, nk),
             in_specs=[len_spec, q_spec, kv_spec, kv_spec],
             out_specs=o_spec,
-            out_shape=jax.ShapeDtypeStruct((B * H, nq * _Q_BLK, d), q.dtype),
+            out_shape=jax.ShapeDtypeStruct((B * H, nq * q_blk, d), q.dtype),
             scratch_shapes=scratch,
             interpret=interpret,
         )(lens, q, k, v)
@@ -206,9 +249,14 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     concat-KV, zero123plus.py:153): attended jointly with k/v. On the Pallas
     path they stream into the kernel as a second block source; the XLA
     fallback concatenates (mathematically identical)."""
+    if _ring_eligible(q, k, extra_k):
+        from contexture_nerf_tpu.parallel.ring import ring_attention
+
+        return ring_attention(q, k, v, _SEQ_PARALLEL["mesh"],
+                              _SEQ_PARALLEL["axis"], extra_k, extra_v)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas and q.shape[2] >= _Q_BLK:
+    if use_pallas and q.shape[2] >= _MIN_SQ_PALLAS:
         return flash_attention_pallas(q, k, v, extra_k, extra_v)
     if extra_k is not None:
         k = jnp.concatenate([k, extra_k], axis=2)

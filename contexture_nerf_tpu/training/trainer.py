@@ -514,6 +514,10 @@ class ConTEXTure:
 
         dp = self.cfg.optim.data_parallel
         tp = max(1, int(self.cfg.optim.tensor_parallel))
+        sp = max(1, int(self.cfg.optim.sequence_parallel))
+        if tp > 1 and sp > 1:
+            raise ValueError("optim.tensor_parallel and "
+                             "optim.sequence_parallel are mutually exclusive")
         n = len(jax.devices())
         if n <= 1 or dp == "off":
             return None
@@ -524,6 +528,12 @@ class ConTEXTure:
                         f"optim.tensor_parallel={tp} does not divide the "
                         f"{n} visible devices")
                 return create_mesh((n // tp, tp), ("views", "tp"))
+            if sp > 1:
+                if n % sp != 0:
+                    raise ValueError(
+                        f"optim.sequence_parallel={sp} does not divide the "
+                        f"{n} visible devices")
+                return create_mesh((n // sp, sp), ("views", "sp"))
             return create_mesh((n,), ("views",))
         return None
 
@@ -565,12 +575,24 @@ class ConTEXTure:
                                b2=cfg.optim.sds_betas[1],
                                eps=cfg.optim.sds_eps)
 
+        # hoist the loop-invariant ControlNet hint embedding out of the hot
+        # loop: it depends only on the (fixed) depth grid (~6 ms/step on v5e;
+        # the reference recomputes it inside every denoise call,
+        # zero123plus.py:283-290)
+        # the latent grid is depth_grid / vae_down (NOT /8: tiny test VAEs
+        # downsample less); embed_control_cond resizes depth to 8x latent
+        lat_hw = (setup["depth_grid"].shape[2] // vae_down,
+                  setup["depth_grid"].shape[3] // vae_down)
+        cn_cond_emb = zero123plus.embed_control_cond(
+            zero123plus.params, setup["depth_grid"], lat_hw)
+
         hot = {
             # the raster cache is only consumed by the exact-lattice path;
             # keeping it out of the hot args otherwise saves ~400 MB HBM of
             # replicated per-view buffers at 1200^2
             "cache6": setup["cache6"] if exact_render else None,
             "depth_grid": setup["depth_grid"],
+            "cn_cond_emb": cn_cond_emb,
             "cond_lat_pair": setup["cond_lat_pair"],
             "encoder_hidden_states": setup["encoder_hidden_states"],
             "zp_params": zero123plus.params,
@@ -677,13 +699,15 @@ class ConTEXTure:
                         hot["zp_params"], latents_noisy, t,
                         hot["cond_lat_pair"], hot["encoder_hidden_states"],
                         hot["depth_grid"], gs_i, gs_t, k_teach,
-                        scale_input=lambda x: x)
+                        scale_input=lambda x: x,
+                        cn_cond_emb=hot["cn_cond_emb"])
                 else:
                     v_pred = zero123plus._cfg_v_pred(
                         hot["zp_params"], latents_noisy, t,
                         hot["cond_lat_pair"], hot["encoder_hidden_states"],
                         hot["depth_grid"], guidance_scale, k_teach,
-                        scale_input=lambda x: x)
+                        scale_input=lambda x: x,
+                        cn_cond_emb=hot["cn_cond_emb"])
                 v_pred = jax.lax.stop_gradient(v_pred)
                 v = sch.velocity_target(acp, z_sg, noise, t)
                 w = (1 - acp[t]).reshape(-1, 1, 1, 1)
@@ -712,6 +736,18 @@ class ConTEXTure:
         if mesh is None:
             return jax.jit(sds_step), optimizer, hot
 
+        if "sp" in mesh.axis_names and mesh.shape["sp"] > 1:
+            # sequence parallelism: while TRACING the step, route eligible
+            # teacher attention through ring attention over the sp axis
+            # (ops/attention.sequence_parallel; parallel/ring.py)
+            from contexture_nerf_tpu.ops.attention import sequence_parallel
+
+            inner_step = sds_step
+
+            def sds_step(params, opt_state, t, key, hot):
+                with sequence_parallel(mesh):
+                    return inner_step(params, opt_state, t, key, hot)
+
         rep = NamedSharding(mesh, P())
 
         def hot_sharding(x):
@@ -738,6 +774,9 @@ class ConTEXTure:
         hot_sh = {
             "cache6": jax.tree.map(lambda x: rep, hot["cache6"]),
             "depth_grid": hot_sharding(hot["depth_grid"]),
+            # NHWC: shard H (dim 1), matching the canvas tensors' H split
+            "cn_cond_emb": NamedSharding(mesh,
+                                         shard_spec(hot["cn_cond_emb"], 1)),
             "cond_lat_pair": hot_sharding(hot["cond_lat_pair"]),
             "encoder_hidden_states": rep,
             "zp_params": zp_sh_tree,

@@ -205,3 +205,43 @@ def test_trainer_tensor_parallel_mesh_and_specs(tmp_path):
     cfg.optim.tensor_parallel = 3
     with pytest.raises(ValueError, match="tensor_parallel"):
         trainer._make_mesh()
+
+
+def test_ring_attention_matches_dense(mesh8):
+    """Ring attention over an 8-device 'sp' axis == dense attention, with
+    and without the reference-attention second KV source (SURVEY.md §2.3
+    sequence-parallel row; parallel/ring.py)."""
+    from contexture_nerf_tpu.ops.attention import _xla_attention
+    from contexture_nerf_tpu.parallel.mesh import create_mesh
+    from contexture_nerf_tpu.parallel.ring import ring_attention
+
+    sp_mesh = create_mesh((8,), ("sp",))
+    ks = jax.random.split(jax.random.PRNGKey(7), 5)
+    B, H, S, d = 2, 3, 64, 16
+    q = jax.random.normal(ks[0], (B, H, S, d), jnp.float32)
+    k = jax.random.normal(ks[1], (B, H, S, d), jnp.float32)
+    v = jax.random.normal(ks[2], (B, H, S, d), jnp.float32)
+    ek = jax.random.normal(ks[3], (B, H, S, d), jnp.float32)
+    ev = jax.random.normal(ks[4], (B, H, S, d), jnp.float32)
+
+    ref = _xla_attention(q, k, v)
+    out = jax.jit(lambda *a: ring_attention(*a, mesh=sp_mesh))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+    ref2 = _xla_attention(q, jnp.concatenate([k, ek], 2),
+                          jnp.concatenate([v, ev], 2))
+    out2 = jax.jit(lambda q, k, v, ek, ev: ring_attention(
+        q, k, v, mesh=sp_mesh, extra_k=ek, extra_v=ev))(q, k, v, ek, ev)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_ring_attention_rejects_indivisible(mesh8):
+    from contexture_nerf_tpu.parallel.mesh import create_mesh
+    from contexture_nerf_tpu.parallel.ring import ring_attention
+
+    sp_mesh = create_mesh((8,), ("sp",))
+    x = jnp.zeros((1, 1, 60, 16))  # 60 % 8 != 0
+    with pytest.raises(ValueError, match="divide"):
+        ring_attention(x, x, x, mesh=sp_mesh)

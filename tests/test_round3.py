@@ -226,3 +226,121 @@ def test_clean_mesh_unwrap_still_welds(tiny_mesh_obj):
     faces = np.array([[0, 1, 2], [1, 3, 2]], np.int64)
     vt, ft = atlas_unwrap(verts, faces)
     assert len(set(ft[0]) & set(ft[1])) == 2  # shared edge stays welded
+
+
+# ---------------------------------------------------------------------------
+# stale-key configs (VERDICT r2 missing #5: decide + test the behavior)
+# ---------------------------------------------------------------------------
+
+def test_stale_config_keys_warn_and_strict_raises(caplog):
+    import logging
+
+    from contexture_nerf_tpu.core.config import config_from_dict, load_config
+
+    data = {"guide": {"text": "x", "guidance_scale_crossattn": 3,
+                      "guidance_scale_concat": 5}}
+    with caplog.at_level(logging.WARNING, logger="contexture_nerf_tpu"):
+        cfg = config_from_dict(data)
+    assert cfg.guide.text == "x"
+    assert "guide.guidance_scale_crossattn" in caplog.text
+    assert "pyrallis" in caplog.text
+    with pytest.raises(ValueError, match="guidance_scale_concat"):
+        config_from_dict(data, strict=True)
+
+    # the shipped mickey mirror (stale keys included verbatim) parses
+    repo = Path(__file__).resolve().parent.parent
+    cfg = load_config(
+        [f"--config_path={repo}/configs/text_guided/mickey.yaml"])
+    assert cfg.guide.individual_control_of_conditions is True
+
+
+# ---------------------------------------------------------------------------
+# semantic SDS convergence smoke (VERDICT r2 weak #5)
+# ---------------------------------------------------------------------------
+
+def test_sds_converges_to_constructed_teacher_target(sphere_obj, tmp_path):
+    """A 'trained-by-construction' teacher whose v-prediction is exactly the
+    velocity consistent with a fixed target latent must pull the student's
+    grid latent toward that target: v_pred - v = (z - z_tgt)/sqrt(1-acp_t),
+    so the SDS update is a contraction toward z_tgt. This is the semantic
+    smoke that the full differentiable chain (MLP -> grid -> VAE encode ->
+    SDS grad -> adam) optimizes what the teacher asks for — independent of
+    weight quality."""
+    import optax
+
+    cfg = _tiny_cfg(sphere_obj, tmp_path, "semantic", iters=1,
+                    sds_lr=2e-3)  # plumbing test, not reference hyperparams
+    tr = ConTEXTure(cfg, tiny_models=True, backend="xla")
+    setup = tr.prepare_sds(skip_bootstrap=True)
+    pipe = tr.zero123plus
+    acp = pipe.alphas_cumprod
+
+    # target: a solid-color grid composited exactly like the student render
+    mask = setup["mask_grid"]
+    target_rgb = jnp.stack([jnp.ones_like(mask[0, 0]),
+                            0.2 * jnp.ones_like(mask[0, 0]),
+                            0.2 * jnp.ones_like(mask[0, 0])])[None]
+    from contexture_nerf_tpu.diffusion.zero123plus import scale_image, \
+        scale_latents
+    target_grid = scale_image((target_rgb * mask + 0.5 * (1 - mask)) * 2 - 1)
+
+    def z_mean(grid):
+        mean, _ = pipe.vae.apply(pipe.params["vae"], grid,
+                                 method=pipe.vae.encode_moments)
+        return scale_latents(mean * pipe.vae_config.scaling_factor)
+
+    z_tgt = z_mean(target_grid)
+
+    def fake_cfg_v_pred(params, latents_noisy, t, cond_lat_pair, ehs, depth,
+                        guidance_scale, key, scale_input):
+        a = acp[t].reshape(-1, 1, 1, 1)
+        eps = (latents_noisy - jnp.sqrt(a) * z_tgt) / jnp.sqrt(1 - a)
+        return jnp.sqrt(a) * eps - jnp.sqrt(1 - a) * z_tgt
+
+    pipe._cfg_v_pred = fake_cfg_v_pred
+    step, optimizer, hot = tr._build_sds_step(setup, None)
+    params = tr.texture_params
+    opt_state = optimizer.init(params)
+    t = jnp.asarray([300], jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    dists = []
+    for i in range(80):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, gn, fi, grid = step(params, opt_state, t,
+                                                     sub, hot)
+        if i % 20 == 0 or i == 79:
+            dists.append(float(jnp.abs(z_mean(grid) - z_tgt).mean()))
+    assert np.isfinite(dists).all()
+    # strong monotone-ish contraction toward the constructed target
+    assert dists[-1] < 0.6 * dists[0], dists
+
+
+# ---------------------------------------------------------------------------
+# loop-invariant ControlNet hint embedding hoist (r3 perf)
+# ---------------------------------------------------------------------------
+
+def test_precomputed_cn_cond_embedding_matches_inline():
+    """_cfg_v_pred with the hoisted hint embedding == computing it inline
+    (the embedding depends only on the depth image; trainer hoists it out of
+    the SDS hot loop)."""
+    from contexture_nerf_tpu.diffusion.zero123plus import Zero123PlusPipeline
+
+    pipe = Zero123PlusPipeline(tiny=True, seed=0)
+    key = jax.random.PRNGKey(1)
+    lat = jax.random.normal(key, (1, 4, 24, 16)) * 0.3
+    t = jnp.asarray([300], jnp.int32)
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 8, 8)) * 0.2
+    ehs = jax.random.normal(jax.random.PRNGKey(3),
+                            (2, 77, pipe.text_config.hidden_size)) * 0.02
+    depth = jax.random.uniform(jax.random.PRNGKey(4), (1, 3, 24 * 8, 16 * 8))
+
+    base = pipe._cfg_v_pred(pipe.params, lat, t, cond, ehs, depth, 5.0,
+                            key, scale_input=lambda x: x)
+    emb = pipe.embed_control_cond(pipe.params, depth, (24, 16))
+    assert emb.shape == (1, 24, 16,
+                         pipe.unet_config.block_out_channels[0])
+    out = pipe._cfg_v_pred(pipe.params, lat, t, cond, ehs, depth, 5.0,
+                           key, scale_input=lambda x: x, cn_cond_emb=emb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
