@@ -92,13 +92,17 @@ def bench_total(pipe, use_pallas=None):
         L.attention = functools.partial(A.attention, use_pallas=use_pallas)
     a = teacher_args(pipe)
 
-    def f(params, latents, t, clp, ehs, depth):
+    emb = pipe.embed_control_cond(pipe.params, a["depth"],
+                                  a["latents"].shape[2:])
+
+    def f(params, latents, t, clp, ehs, depth, emb):
         return pipe._cfg_v_pred(params, latents, t, clp, ehs, depth, 10.0,
-                                a["key"], scale_input=lambda x: x)
+                                a["key"], scale_input=lambda x: x,
+                                cn_cond_emb=emb)
 
     jitted = jax.jit(f)
     args = (pipe.params, a["latents"], a["t"], a["cond_lat_pair"],
-            a["ehs"], a["depth"])
+            a["ehs"], a["depth"], emb)
     jax.block_until_ready(jitted(*args))
     return timeit(lambda: jitted(*args), jax.block_until_ready)
 
