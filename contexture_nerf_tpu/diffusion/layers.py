@@ -20,6 +20,27 @@ import jax
 import jax.numpy as jnp
 
 from contexture_nerf_tpu.ops.attention import attention
+from contexture_nerf_tpu.ops.groupnorm import group_norm_silu
+
+
+class GroupNormSiLU(nn.Module):
+    """nn.GroupNorm -> silu -> astype as ONE fused op (Pallas kernel on TPU,
+    ops/groupnorm.py; pure-JAX reference elsewhere). Param tree is identical
+    to nn.GroupNorm (scale, bias), so converted diffusers checkpoints load
+    unchanged. act=False gives plain GroupNorm + cast."""
+
+    groups: int = 32
+    eps: float = 1e-5
+    act: bool = True
+    out_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        return group_norm_silu(x, scale, bias, self.groups, self.eps,
+                               self.act, self.out_dtype)
 
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int,
@@ -60,18 +81,16 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x, temb=None):
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32,
-                         name="norm1")(x)
-        h = nn.silu(h).astype(self.dtype)
+        h = GroupNormSiLU(self.groups, self.eps, out_dtype=self.dtype,
+                          name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
         if self.use_temb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32,
-                         name="norm2")(h)
-        h = nn.silu(h).astype(self.dtype)
+        h = GroupNormSiLU(self.groups, self.eps, out_dtype=self.dtype,
+                          name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
         if in_ch != self.out_channels:
@@ -205,8 +224,8 @@ class Transformer2DModel(nn.Module):
         collecting each self-attn's input tokens (write pass)."""
         B, H, W, C = x.shape
         residual = x
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
-        h = h.astype(self.dtype)
+        h = GroupNormSiLU(32, 1e-6, act=False, out_dtype=self.dtype,
+                          name="norm")(x)
         if self.use_linear_projection:
             h = h.reshape(B, H * W, C)
             h = nn.Dense(C, dtype=self.dtype, name="proj_in")(h)

@@ -22,7 +22,9 @@ from typing import List, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from contexture_nerf_tpu.diffusion.layers import (Downsample2D, ResnetBlock2D,
+from contexture_nerf_tpu.diffusion.layers import (Downsample2D,
+                                                  GroupNormSiLU,
+                                                  ResnetBlock2D,
                                                   TimestepEmbedding,
                                                   Transformer2DModel,
                                                   Upsample2D,
@@ -170,9 +172,8 @@ class UNet2DCondition(nn.Module):
                 h = Upsample2D(out_ch, dtype=self.dtype,
                                name=f"up_{bi}_upsample")(h)
 
-        h = nn.GroupNorm(32, epsilon=1e-5, dtype=jnp.float32,
-                         name="conv_norm_out")(h)
-        h = nn.silu(h).astype(self.dtype)
+        h = GroupNormSiLU(32, 1e-5, out_dtype=self.dtype,
+                          name="conv_norm_out")(h)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv_out")(h)
         return jnp.transpose(h, (0, 3, 1, 2))

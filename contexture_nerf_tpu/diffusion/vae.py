@@ -15,8 +15,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from contexture_nerf_tpu.diffusion.layers import (Downsample2D, ResnetBlock2D,
-                                                  Upsample2D)
+from contexture_nerf_tpu.diffusion.layers import (Downsample2D,
+                                                  GroupNormSiLU,
+                                                  ResnetBlock2D, Upsample2D)
 
 
 class VAEConfig:
@@ -46,8 +47,8 @@ class _VAEAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=jnp.float32,
-                         name="group_norm")(x).astype(self.dtype)
+        h = GroupNormSiLU(32, 1e-6, act=False, out_dtype=self.dtype,
+                          name="group_norm")(x)
         h = h.reshape(B, H * W, C)
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
@@ -89,9 +90,8 @@ class Encoder(nn.Module):
         h = _VAEAttention(dtype=self.dtype, name="mid_attn")(h)
         h = Resnet(mid_ch, eps=1e-6, dtype=self.dtype, use_temb=False,
                    name="mid_resnet_1")(h)
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=jnp.float32,
-                         name="conv_norm_out")(h)
-        h = nn.silu(h).astype(self.dtype)
+        h = GroupNormSiLU(32, 1e-6, out_dtype=self.dtype,
+                          name="conv_norm_out")(h)
         moments = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1,
                           dtype=self.dtype, name="conv_out")(h)
         moments = nn.Conv(2 * cfg.latent_channels, (1, 1), dtype=self.dtype,
@@ -125,9 +125,8 @@ class Decoder(nn.Module):
             if bi > 0:
                 h = Upsample2D(out_ch, dtype=self.dtype,
                                name=f"up_{bi}_upsample")(h)
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=jnp.float32,
-                         name="conv_norm_out")(h)
-        h = nn.silu(h).astype(self.dtype)
+        h = GroupNormSiLU(32, 1e-6, out_dtype=self.dtype,
+                          name="conv_norm_out")(h)
         return nn.Conv(cfg.in_channels, (3, 3), padding=1, dtype=self.dtype,
                        name="conv_out")(h)
 

@@ -1,0 +1,98 @@
+"""Fused GroupNorm(+SiLU) op: kernel parity, gradients, module tree.
+
+The op replaces every nn.GroupNorm -> silu -> astype chain in the diffusion
+stacks (reference: torch GroupNorm inside diffusers blocks, SURVEY.md §2.2),
+so parity against flax GroupNorm is the correctness bar and the param-tree
+test guards the weights-converter contract.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from contexture_nerf_tpu.ops.groupnorm import (group_norm_silu,
+                                               group_norm_silu_pallas,
+                                               group_norm_silu_reference)
+
+
+def _flax_gn_silu(x, scale, bias, groups, eps, act, out_dtype):
+    gn = nn.GroupNorm(groups, epsilon=eps, dtype=jnp.float32)
+    y = gn.apply({"params": {"scale": scale, "bias": bias}},
+                 x.astype(jnp.float32))
+    if act:
+        y = nn.silu(y)
+    return y.astype(out_dtype)
+
+
+CASES = [
+    # (B, HW, C, act, dtype) — teacher resnet shapes incl. the non-16-mult
+    # 150-row bottom block and a tail-padded odd length
+    (2, 9600, 320, True, jnp.bfloat16),
+    (2, 150, 1280, True, jnp.bfloat16),
+    (1, 600, 64, False, jnp.float32),
+    (2, 777, 256, True, jnp.float32),
+]
+
+
+@pytest.mark.parametrize("B,HW,C,act,dt", CASES)
+def test_kernel_matches_flax(B, HW, C, act, dt):
+    k = jax.random.PRNGKey(0)
+    x = (jax.random.normal(k, (B, HW, C), jnp.float32) * 2 + 0.5).astype(dt)
+    scale = jax.random.normal(jax.random.PRNGKey(1), (C,)) * 0.3 + 1.0
+    bias = jax.random.normal(jax.random.PRNGKey(2), (C,)) * 0.2
+    want = _flax_gn_silu(x, scale, bias, 32, 1e-5, act, dt)
+    got_ref = group_norm_silu_reference(x, scale, bias, 32, 1e-5, act, dt)
+    got_pal = group_norm_silu_pallas(x, scale, bias, 32, 1e-5, act, dt,
+                                     interpret=True)
+    tol = 2e-2 if dt == jnp.bfloat16 else 1e-4
+    np.testing.assert_allclose(np.asarray(got_ref, np.float32),
+                               np.asarray(want, np.float32), atol=tol)
+    np.testing.assert_allclose(np.asarray(got_pal, np.float32),
+                               np.asarray(want, np.float32), atol=tol)
+
+
+def test_nhwc_rank4_and_gradients():
+    """4-D NHWC input (the module-facing shape) and the custom VJP: both
+    must match flax GroupNorm + silu and its autodiff exactly (the backward
+    recomputes through the pure-JAX reference)."""
+    k = jax.random.PRNGKey(3)
+    x = jax.random.normal(k, (2, 12, 10, 64), jnp.float32)
+    scale = jnp.linspace(0.5, 1.5, 64)
+    bias = jnp.linspace(-0.2, 0.2, 64)
+
+    def mine(x, s, b):
+        return group_norm_silu(x, s, b, 32, 1e-5, True, jnp.float32).sum()
+
+    def flax_fn(x, s, b):
+        return _flax_gn_silu(x, s, b, 32, 1e-5, True, jnp.float32).sum()
+
+    g1 = jax.grad(mine, (0, 1, 2))(x, scale, bias)
+    g2 = jax.grad(flax_fn, (0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(g1, g2):
+        # scale/bias grads sum 240 elements — f32 reassociation noise ~1e-4
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)
+
+
+def test_module_param_tree_matches_groupnorm():
+    """GroupNormSiLU must expose exactly nn.GroupNorm's param tree (scale,
+    bias) and agree numerically when fed the same params — the contract the
+    diffusers weights converter relies on (diffusion/weights.py)."""
+    from contexture_nerf_tpu.diffusion.layers import GroupNormSiLU
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 64), jnp.float32)
+    mod = GroupNormSiLU(32, 1e-6, act=True, out_dtype=jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    leaves = params["params"]
+    assert set(leaves) == {"scale", "bias"}
+    assert leaves["scale"].shape == (64,)
+    ref_mod = nn.GroupNorm(32, epsilon=1e-6, dtype=jnp.float32)
+    ref_params = ref_mod.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(params) == jax.tree.structure(ref_params)
+    scale = jnp.linspace(0.8, 1.2, 64)
+    bias = jnp.linspace(-0.1, 0.1, 64)
+    got = mod.apply({"params": {"scale": scale, "bias": bias}}, x)
+    want = nn.silu(ref_mod.apply({"params": {"scale": scale, "bias": bias}},
+                                 x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -292,7 +292,7 @@ def test_sds_converges_to_constructed_teacher_target(sphere_obj, tmp_path):
     z_tgt = z_mean(target_grid)
 
     def fake_cfg_v_pred(params, latents_noisy, t, cond_lat_pair, ehs, depth,
-                        guidance_scale, key, scale_input):
+                        guidance_scale, key, scale_input, **kw):
         a = acp[t].reshape(-1, 1, 1, 1)
         eps = (latents_noisy - jnp.sqrt(a) * z_tgt) / jnp.sqrt(1 - a)
         return jnp.sqrt(a) * eps - jnp.sqrt(1 - a) * z_tgt

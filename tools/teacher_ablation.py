@@ -33,34 +33,31 @@ def timeit(fn, ready, n=20, reps=3):
     return statistics.median(out) * 1000.0
 
 
-def build(fake_gn=False):
-    import flax.linen as nn
+def build(gn="pallas"):
+    import jax
     import jax.numpy as jnp
 
-    if fake_gn:
-        class FakeGN(nn.Module):
-            """Same params as GroupNorm (scale, bias) but no statistics —
-            isolates the normalization-reduction cost. Keeps the input
-            dtype (upcasting to f32 here would silently make every
-            downstream conv f32 and invert the measurement)."""
+    if gn != "pallas":
+        import contexture_nerf_tpu.ops.groupnorm as GN
 
-            num_groups: int = 32
-            epsilon: float = 1e-5
-            dtype: object = None
+        if gn == "fake":
+            # statistics-free stand-in: keeps the per-channel affine +
+            # activation + cast (1 read + 1 write) but drops the stats
+            # pass — the upper bound on what ANY GroupNorm implementation
+            # could still recover
+            def impl(x, scale, bias, groups=32, eps=1e-5, act=True,
+                     out_dtype=None):
+                y = x.astype(jnp.float32) * scale + bias
+                if act:
+                    y = y * jax.nn.sigmoid(y)
+                return y.astype(out_dtype or x.dtype)
+        else:  # "xla": let XLA fuse the pure-JAX reference
+            impl = GN.group_norm_silu_reference
 
-            @nn.compact
-            def __call__(self, x):
-                c = x.shape[-1]
-                scale = self.param("scale", nn.initializers.ones, (c,))
-                bias = self.param("bias", nn.initializers.zeros, (c,))
-                return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+        GN.group_norm_silu = impl
+        import contexture_nerf_tpu.diffusion.layers as L
 
-        def fake_groupnorm(num_groups=32, epsilon=1e-5, dtype=None,
-                           name=None, **kw):
-            return FakeGN(num_groups=num_groups, epsilon=epsilon,
-                          dtype=dtype, name=name)
-
-        nn.GroupNorm = fake_groupnorm  # process-wide; fakegn runs last
+        L.group_norm_silu = impl  # layers imported the symbol by value
 
     from contexture_nerf_tpu.diffusion.zero123plus import Zero123PlusPipeline
 
@@ -192,7 +189,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="all",
                     choices=["all", "check", "total", "xla", "parts",
-                             "fakegn"])
+                             "fakegn", "xlagn"])
     args = ap.parse_args()
     res = {}
     if args.mode in ("all", "check"):
@@ -203,14 +200,20 @@ def main():
             res["total_ms"] = bench_total(pipe)
         if args.mode in ("all", "xla"):
             res["total_xla_attn_ms"] = bench_total(pipe, use_pallas=False)
-            bench_total(pipe, use_pallas=None)  # restore dispatch
+            # restore the real dispatch (partial(attention, use_pallas=None)
+            # would NOT be installed by bench_total — its guard skips None)
+            import contexture_nerf_tpu.diffusion.layers as L
+            from contexture_nerf_tpu.ops import attention as A
+
+            L.attention = A.attention
         if args.mode in ("all", "parts"):
             res.update(bench_parts(pipe))
         del pipe
         gc.collect()
-    if args.mode in ("all", "fakegn"):
-        pipe = build(fake_gn=True)
-        res["total_fake_gn_ms"] = bench_total(pipe)
+    if args.mode in ("all", "fakegn", "xlagn"):
+        gn = "fake" if args.mode in ("all", "fakegn") else "xla"
+        pipe = build(gn=gn)
+        res[f"total_{gn}_gn_ms"] = bench_total(pipe)
     print(json.dumps({k: round(v, 4) for k, v in res.items()}))
 
 
