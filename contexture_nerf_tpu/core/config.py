@@ -167,6 +167,12 @@ class OptimConfig:
     # doubled KV) runs as ring attention over the sp axis (parallel/ring.py,
     # SURVEY.md §2.3). 1 = off. Mutually exclusive with tensor_parallel.
     sequence_parallel: int = 1
+    # Run the depth ControlNet's heavy blocks (resnet/downsample convs +
+    # transformer matmuls) as dynamic W8A8 int8 on the MXU's 2x int8 path
+    # (ops/quant.py). Forward-only inference optimization of the
+    # stop-gradiented SDS teacher; params stay bf16 masters. Off by default
+    # (bit-parity with the reference's fp16 autocast path).
+    int8_controlnet: bool = False
 
 
 @dataclass

@@ -51,6 +51,12 @@ class ControlNetCondEmbedding(nn.Module):
 class ControlNet(nn.Module):
     config: UNetConfig  # matches the paired UNet's encoder
     dtype: jnp.dtype = jnp.float32
+    # int8 MXU compute in the heavy blocks (ops/quant.py): resnet/downsample
+    # convs + transformer matmuls. The hint embedder, conv_in, time
+    # embedding, and the zero-init output projections stay exact — they are
+    # tiny and accuracy-critical. Param tree is unchanged (bf16 masters,
+    # quantized on the fly), so converter/checkpoints/TP specs all apply.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, sample: jnp.ndarray, timesteps: jnp.ndarray,
@@ -92,29 +98,31 @@ class ControlNet(nn.Module):
         res_stack: List[jnp.ndarray] = [h]
         for bi, out_ch in enumerate(cfg.block_out_channels):
             for li in range(cfg.layers_per_block):
-                h = ResnetBlock2D(out_ch, dtype=self.dtype,
+                h = ResnetBlock2D(out_ch, dtype=self.dtype, quant=self.quant,
                                   name=f"down_{bi}_resnet_{li}")(h, temb)
                 if is_cross[bi]:
                     h = Transformer2DModel(
                         cfg.num_heads[bi], out_ch // cfg.num_heads[bi],
                         depth=cfg.transformer_depth,
                         use_linear_projection=cfg.use_linear_projection,
-                        dtype=self.dtype,
+                        dtype=self.dtype, quant=self.quant,
                         name=f"down_{bi}_attn_{li}")(h, context)
                 res_stack.append(h)
             if bi < num_blocks - 1:
-                h = Downsample2D(out_ch, dtype=self.dtype,
+                h = Downsample2D(out_ch, dtype=self.dtype, quant=self.quant,
                                  name=f"down_{bi}_downsample")(h)
                 res_stack.append(h)
 
         mid_ch = cfg.block_out_channels[-1]
-        h = ResnetBlock2D(mid_ch, dtype=self.dtype, name="mid_resnet_0")(h, temb)
+        h = ResnetBlock2D(mid_ch, dtype=self.dtype, quant=self.quant,
+                          name="mid_resnet_0")(h, temb)
         h = Transformer2DModel(
             cfg.num_heads[-1], mid_ch // cfg.num_heads[-1],
             depth=cfg.transformer_depth,
             use_linear_projection=cfg.use_linear_projection,
-            dtype=self.dtype, name="mid_attn")(h, context)
-        h = ResnetBlock2D(mid_ch, dtype=self.dtype, name="mid_resnet_1")(h, temb)
+            dtype=self.dtype, quant=self.quant, name="mid_attn")(h, context)
+        h = ResnetBlock2D(mid_ch, dtype=self.dtype, quant=self.quant,
+                          name="mid_resnet_1")(h, temb)
 
         down_out = []
         for i, r in enumerate(res_stack):

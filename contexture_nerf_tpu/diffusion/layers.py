@@ -21,6 +21,8 @@ import jax.numpy as jnp
 
 from contexture_nerf_tpu.ops.attention import attention
 from contexture_nerf_tpu.ops.groupnorm import group_norm_silu
+from contexture_nerf_tpu.ops.quant import (int8_conv_general_dilated,
+                                           int8_dot_general)
 
 
 class GroupNormSiLU(nn.Module):
@@ -77,14 +79,16 @@ class ResnetBlock2D(nn.Module):
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
     use_temb: bool = True
+    quant: bool = False  # int8 convs (ops/quant.py); params unchanged
 
     @nn.compact
     def __call__(self, x, temb=None):
+        cg = int8_conv_general_dilated if self.quant else None
         in_ch = x.shape[-1]
         h = GroupNormSiLU(self.groups, self.eps, out_dtype=self.dtype,
                           name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv1")(h)
+                    conv_general_dilated=cg, name="conv1")(h)
         if self.use_temb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(temb))
@@ -92,21 +96,24 @@ class ResnetBlock2D(nn.Module):
         h = GroupNormSiLU(self.groups, self.eps, out_dtype=self.dtype,
                           name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv2")(h)
+                    conv_general_dilated=cg, name="conv2")(h)
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        name="conv_shortcut")(x)
+                        conv_general_dilated=cg, name="conv_shortcut")(x)
         return x + h
 
 
 class Downsample2D(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
+        cg = int8_conv_general_dilated if self.quant else None
         return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
-                       dtype=self.dtype, name="conv")(x)
+                       dtype=self.dtype, conv_general_dilated=cg,
+                       name="conv")(x)
 
 
 class Upsample2D(nn.Module):
@@ -131,14 +138,19 @@ class CrossAttention(nn.Module):
     num_heads: int
     head_dim: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False  # int8 qkv/out projections (attention itself exact)
 
     @nn.compact
     def __call__(self, x, context=None, ref_kv=None):
+        dg = int8_dot_general if self.quant else None
         inner = self.num_heads * self.head_dim
         ctx = x if context is None else context
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        to_k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")
-        to_v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     dot_general=dg, name="to_q")(x)
+        to_k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                        dot_general=dg, name="to_k")
+        to_v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                        dot_general=dg, name="to_v")
         k = to_k(ctx)
         v = to_v(ctx)
 
@@ -163,7 +175,8 @@ class CrossAttention(nn.Module):
         out = attention(split(q, Sq), split(k, Skv), split(v, Skv),
                         extra_k=ek, extra_v=ev)
         out = out.transpose(0, 2, 1, 3).reshape(B, Sq, inner)
-        return nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
+        return nn.Dense(inner, dtype=self.dtype, dot_general=dg,
+                        name="to_out")(out)
 
 
 class FeedForward(nn.Module):
@@ -172,20 +185,25 @@ class FeedForward(nn.Module):
     dim: int
     mult: int = 4
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
+        dg = int8_dot_general if self.quant else None
         inner = self.dim * self.mult
-        h = nn.Dense(inner * 2, dtype=self.dtype, name="geglu_proj")(x)
+        h = nn.Dense(inner * 2, dtype=self.dtype, dot_general=dg,
+                     name="geglu_proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * nn.gelu(gate)
-        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(h)
+        return nn.Dense(self.dim, dtype=self.dtype, dot_general=dg,
+                        name="out_proj")(h)
 
 
 class BasicTransformerBlock(nn.Module):
     num_heads: int
     head_dim: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, context=None, ref_kv=None, ref_out=None):
@@ -196,14 +214,16 @@ class BasicTransformerBlock(nn.Module):
         if ref_out is not None:
             ref_out.append(h)
         x = x + CrossAttention(self.num_heads, self.head_dim, self.dtype,
+                               quant=self.quant,
                                name="attn1")(h.astype(self.dtype),
                                              ref_kv=ref_kv)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         x = x + CrossAttention(self.num_heads, self.head_dim, self.dtype,
+                               quant=self.quant,
                                name="attn2")(h.astype(self.dtype),
                                              context=context)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x)
-        x = x + FeedForward(x.shape[-1], dtype=self.dtype,
+        x = x + FeedForward(x.shape[-1], dtype=self.dtype, quant=self.quant,
                             name="ff")(h.astype(self.dtype))
         return x
 
@@ -216,32 +236,39 @@ class Transformer2DModel(nn.Module):
     depth: int = 1
     use_linear_projection: bool = True  # SD2 style
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, context=None, ref_kv_list=None, ref_out=None):
         """ref_kv_list: shared mutable list of per-self-attn KV extensions,
         consumed in execution order (pop from front); ref_out: shared list
         collecting each self-attn's input tokens (write pass)."""
+        dg = int8_dot_general if self.quant else None
+        cg = int8_conv_general_dilated if self.quant else None
         B, H, W, C = x.shape
         residual = x
         h = GroupNormSiLU(32, 1e-6, act=False, out_dtype=self.dtype,
                           name="norm")(x)
         if self.use_linear_projection:
             h = h.reshape(B, H * W, C)
-            h = nn.Dense(C, dtype=self.dtype, name="proj_in")(h)
+            h = nn.Dense(C, dtype=self.dtype, dot_general=dg,
+                         name="proj_in")(h)
         else:
-            h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_in")(h)
+            h = nn.Conv(C, (1, 1), dtype=self.dtype, conv_general_dilated=cg,
+                        name="proj_in")(h)
             h = h.reshape(B, H * W, C)
         for i in range(self.depth):
             rkv = ref_kv_list.pop(0) if ref_kv_list is not None else None
             h = BasicTransformerBlock(
-                self.num_heads, self.head_dim, self.dtype,
+                self.num_heads, self.head_dim, self.dtype, quant=self.quant,
                 name=f"transformer_blocks_{i}")(
                     h, context=context, ref_kv=rkv, ref_out=ref_out)
         if self.use_linear_projection:
-            h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
+            h = nn.Dense(C, dtype=self.dtype, dot_general=dg,
+                         name="proj_out")(h)
             h = h.reshape(B, H, W, C)
         else:
             h = h.reshape(B, H, W, C)
-            h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_out")(h)
+            h = nn.Conv(C, (1, 1), dtype=self.dtype, conv_general_dilated=cg,
+                        name="proj_out")(h)
         return h + residual

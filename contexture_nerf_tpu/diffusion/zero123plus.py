@@ -123,9 +123,10 @@ class Zero123PlusPipeline:
     def __init__(self, conditioning_scale: float = 2.0,
                  weight_paths: Optional[Zero123PlusWeightPaths] = None,
                  tiny: bool = False, dtype: jnp.dtype = jnp.float32,
-                 seed: int = 0):
+                 seed: int = 0, int8_controlnet: bool = False):
         self.conditioning_scale = conditioning_scale
         self.dtype = dtype
+        self.int8_controlnet = int8_controlnet
         if tiny:
             self.unet_config = UNetConfig.tiny(in_channels=4)
             self.vae_config = VAEConfig.tiny()
@@ -140,7 +141,11 @@ class Zero123PlusPipeline:
             self.vision_config = CLIPVisionConfig.vit_h()
 
         self.unet = UNet2DCondition(self.unet_config, dtype=dtype)
-        self.controlnet = ControlNet(self.unet_config, dtype=dtype)
+        # optim.int8_controlnet: W8A8 dynamic quantization of the heavy
+        # ControlNet blocks on the MXU's 2x int8 path (ops/quant.py); params
+        # stay bf16 masters so init/convert/checkpoint paths are identical
+        self.controlnet = ControlNet(self.unet_config, dtype=dtype,
+                                     quant=int8_controlnet)
         self.vae = AutoencoderKL(self.vae_config, dtype=dtype)
         self.text_encoder = CLIPTextModel(self.text_config, dtype=dtype)
         self.vision_encoder = CLIPVisionModelWithProjection(

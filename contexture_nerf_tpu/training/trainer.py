@@ -242,7 +242,8 @@ class ConTEXTure:
             logger.info(f"Zero123++ weights from snapshot: {wp}")
         return Zero123PlusPipeline(conditioning_scale=2.0, weight_paths=wp,
                                    tiny=self.tiny, dtype=dtype,
-                                   seed=self.cfg.optim.seed)
+                                   seed=self.cfg.optim.seed,
+                                   int8_controlnet=self.cfg.optim.int8_controlnet)
 
     def _calc_text_embeddings(self):
         ref_text = self.cfg.guide.text

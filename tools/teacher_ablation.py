@@ -33,7 +33,7 @@ def timeit(fn, ready, n=20, reps=3):
     return statistics.median(out) * 1000.0
 
 
-def build(gn="pallas"):
+def build(gn="pallas", int8_cn=False):
     import jax
     import jax.numpy as jnp
 
@@ -61,7 +61,8 @@ def build(gn="pallas"):
 
     from contexture_nerf_tpu.diffusion.zero123plus import Zero123PlusPipeline
 
-    return Zero123PlusPipeline(tiny=False, dtype=jnp.bfloat16, seed=0)
+    return Zero123PlusPipeline(tiny=False, dtype=jnp.bfloat16, seed=0,
+                               int8_controlnet=int8_cn)
 
 
 def teacher_args(pipe):
@@ -189,7 +190,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="all",
                     choices=["all", "check", "total", "xla", "parts",
-                             "fakegn", "xlagn"])
+                             "fakegn", "xlagn", "int8"])
     args = ap.parse_args()
     res = {}
     if args.mode in ("all", "check"):
@@ -214,6 +215,12 @@ def main():
         gn = "fake" if args.mode in ("all", "fakegn") else "xla"
         pipe = build(gn=gn)
         res[f"total_{gn}_gn_ms"] = bench_total(pipe)
+        del pipe
+        gc.collect()
+    if args.mode in ("all", "int8"):
+        # optim.int8_controlnet: heavy ControlNet blocks on the 2x int8 MXU
+        pipe = build(int8_cn=True)
+        res["total_int8_cn_ms"] = bench_total(pipe)
     print(json.dumps({k: round(v, 4) for k, v in res.items()}))
 
 
