@@ -158,6 +158,43 @@ def test_pipeline_int8_controlnet_teacher_runs():
     np.testing.assert_allclose(np.asarray(v8), np.asarray(v), atol=1e-5)
 
 
+def test_int8_teacher_under_tp_mesh_matches_unsharded():
+    """int8 quantization composes with GSPMD: the quantized teacher under
+    TP-sharded params equals the unsharded quantized teacher (the dynamic
+    per-row/tensor amax reductions span sharded operands, so XLA must insert
+    the right collectives around the int8 ops)."""
+    import jax.numpy as jnp
+
+    from contexture_nerf_tpu.diffusion.zero123plus import Zero123PlusPipeline
+    from contexture_nerf_tpu.parallel.mesh import create_mesh
+    from contexture_nerf_tpu.parallel.tp import (shard_params_tp,
+                                                 tp_param_specs)
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    pipe = Zero123PlusPipeline(tiny=True, seed=0, int8_controlnet=True)
+    key = jax.random.PRNGKey(1)
+    lat = jax.random.normal(key, (1, 4, 24, 16)) * 0.3
+    t = jnp.asarray([300], jnp.int32)
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 8, 8)) * 0.2
+    ehs = jax.random.normal(jax.random.PRNGKey(3),
+                            (2, 77, pipe.text_config.hidden_size)) * 0.02
+    depth = jax.random.uniform(jax.random.PRNGKey(4), (1, 3, 24 * 8, 16 * 8))
+
+    def f(params):
+        return pipe._cfg_v_pred(params, lat, t, cond, ehs, depth, 5.0,
+                                key, scale_input=lambda x: x)
+
+    baseline = jax.jit(f)(pipe.params)
+    tp_mesh = create_mesh((8,), ("tp",))
+    specs = tp_param_specs(pipe.params, tp_mesh)
+    with tp_mesh:
+        tp_params = shard_params_tp(pipe.params, tp_mesh)
+        out = jax.jit(f, in_shardings=(specs,))(tp_params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(baseline),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_config_knob_reaches_pipeline(tmp_path):
     from contexture_nerf_tpu.core.config import config_from_dict
     from tools.make_shapes import uv_sphere, write_obj
