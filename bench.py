@@ -30,39 +30,17 @@ import glob
 import json
 import os
 import re
-import statistics
 import time
 
 os.environ.setdefault("JAX_PLATFORMS", "axon,tpu,cpu")
+
+from contexture_nerf_tpu.core.timing import (median_iqr_ms as _median_iqr_ms,
+                                             timed_windows as _timed_windows)
 
 A100_REF_STEPS_PER_SEC = 5.5
 # bf16 peak per chip by device kind (fallback 197 TFLOP/s = v5e)
 PEAK_BF16 = {"TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v4": 275e12,
              "TPU v5p": 459e12, "TPU v6e": 918e12}
-
-
-def _timed_windows(fn, ready, n_iters, reps):
-    """reps timing windows of n_iters calls each -> per-call seconds list."""
-    out = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        r = None
-        for _ in range(n_iters):
-            r = fn()
-        ready(r)
-        out.append((time.perf_counter() - t0) / n_iters)
-    return out
-
-
-def _median_iqr_ms(samples_s):
-    ms = sorted(1000.0 * s for s in samples_s)
-    med = statistics.median(ms)
-    if len(ms) >= 4:
-        q = statistics.quantiles(ms, n=4)
-        iqr = q[2] - q[0]
-    else:
-        iqr = max(ms) - min(ms)
-    return med, iqr
 
 
 def bench_teacher(tiny, int8=False):

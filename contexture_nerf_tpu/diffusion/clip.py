@@ -247,6 +247,13 @@ class CLIPTokenizer:
         import re
 
         text = html.unescape(text.strip().lower())
+        # isolate added (textual-inversion) tokens before whitespace
+        # splitting, so "<sks>." / "<sks>," still hit the concept id the
+        # way transformers' added-token matcher does (longest token first
+        # in case one added token prefixes another)
+        for tok in sorted(self.added_tokens, key=len, reverse=True):
+            if tok in text:
+                text = text.replace(tok, f" {tok} ")
         ids: List[int] = []
         for chunk in text.split():
             if chunk in self.added_tokens:

@@ -162,12 +162,24 @@ class Zero123PlusPipeline:
             prediction_type="v_prediction", timestep_spacing="trailing")
         self.alphas_cumprod = self.ddpm.alphas_cumprod
 
+        data = None
         if wp.ramping_coefficients:
             import json
 
             data = json.load(open(wp.ramping_coefficients))
             if isinstance(data, dict):
-                data = data["ramping_coefficients"]
+                # Zero123++ snapshots carry the coefficients in
+                # model_index.json; a generic diffusers export won't have
+                # the key — fall back to the default ramp rather than crash
+                data = data.get("ramping_coefficients")
+                if data is None:
+                    import warnings
+
+                    warnings.warn(
+                        f"{wp.ramping_coefficients} has no "
+                        "'ramping_coefficients' key; using the default "
+                        "linear ramp")
+        if data is not None:
             self.ramping = np.asarray(data, np.float32)
             if self.ramping.shape[0] != self.text_config.max_positions:
                 raise ValueError(

@@ -99,10 +99,14 @@ def _per_face_unwrap(faces: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 def _coverage_count(uv: np.ndarray, ft: np.ndarray, G: int = 128
                     ) -> np.ndarray:
     """Rasterized coverage count of triangles `ft` over `uv`, on a G^2 grid
-    spanning the uv bbox. Texel centers strictly inside a triangle count;
-    shared edges therefore do not double-count."""
-    lo = uv.min(axis=0)
-    span = np.maximum(uv.max(axis=0) - lo, 1e-12)
+    spanning the bbox of the vertices `ft` actually uses (NOT the whole
+    atlas — a small chart rasterized against the global bbox would span a
+    handful of texels and real self-overlaps would go undetected). Texel
+    centers strictly inside a triangle count; shared edges therefore do not
+    double-count."""
+    used = uv[np.unique(ft)]
+    lo = used.min(axis=0)
+    span = np.maximum(used.max(axis=0) - lo, 1e-12)
     uvn = (uv - lo) / span * G
     cover = np.zeros((G, G), np.int32)
     for tri in ft:

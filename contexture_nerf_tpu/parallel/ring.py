@@ -66,8 +66,7 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         m0 = jnp.full(shp + (1,), _NEG_INF, jnp.float32)
         l0 = jnp.zeros(shp + (1,), jnp.float32)
 
-        def step(_, carry):
-            o, m, l, kc, vc = carry
+        def accum(o, m, l, kc, vc):
             s = jnp.einsum("bhqd,bhkd->bhqk", qf,
                            kc.astype(jnp.float32),
                            preferred_element_type=jnp.float32)
@@ -78,12 +77,21 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             o_new = o * corr + jnp.einsum(
                 "bhqk,bhkd->bhqd", p, vc.astype(jnp.float32),
                 preferred_element_type=jnp.float32)
+            return o_new, m_new, l_new
+
+        def step(_, carry):
+            o, m, l, kc, vc = carry
+            o, m, l = accum(o, m, l, kc, vc)
             kc = jax.lax.ppermute(kc, seq_axis, perm)
             vc = jax.lax.ppermute(vc, seq_axis, perm)
-            return o_new, m_new, l_new, kc, vc
+            return o, m, l, kc, vc
 
-        o, m, l, _, _ = jax.lax.fori_loop(0, n, step,
-                                          (o0, m0, l0, k_blk, v_blk))
+        # rotate only between blocks: n-1 permuted steps, then fold the
+        # last block in place (a rotation after the final accumulate would
+        # send one full extra round of both KV shards over ICI per call)
+        o, m, l, kc, vc = jax.lax.fori_loop(0, n - 1, step,
+                                            (o0, m0, l0, k_blk, v_blk))
+        o, m, l = accum(o, m, l, kc, vc)
         return (o / jnp.maximum(l, 1e-30)).astype(q_blk.dtype)
 
     spec = P(None, None, seq_axis, None)

@@ -417,9 +417,16 @@ class ConTEXTure:
         frac = (best.sum(axis=(1, 2, 3)) /
                 jnp.maximum(fg.sum(axis=(1, 2, 3)), 1))
         w6 = np.asarray(frac, np.float64)[1:]
-        w6 = w6 / max(w6.sum(), 1e-8)
         mode = self.cfg.optim.tile_weighting
         uniform = np.full(6, 1.0 / 6.0)
+        if w6.sum() <= 0:
+            # no view has any best-view foreground pixel (front-dominated
+            # geometry): weighted/mixed would divide by zero — fall back
+            if mode != "uniform":
+                logger.warning("all view weights are zero; tile_weighting "
+                               f"'{mode}' falls back to uniform")
+            w6 = uniform.copy()
+        w6 = w6 / w6.sum()
         if mode == "uniform":
             probs = uniform
         elif mode == "weighted":
@@ -521,6 +528,12 @@ class ConTEXTure:
                              "optim.sequence_parallel are mutually exclusive")
         n = len(jax.devices())
         if n <= 1 or dp == "off":
+            if tp > 1 or sp > 1:
+                raise ValueError(
+                    f"optim.tensor_parallel={tp}/sequence_parallel={sp} "
+                    f"requested but no mesh can be built "
+                    f"(data_parallel={dp!r}, {n} visible devices) — an "
+                    "explicit TP/SP request must not be silently ignored")
             return None
         if dp == "on" or (dp == "auto" and jax.default_backend() == "tpu"):
             if tp > 1:
@@ -536,6 +549,12 @@ class ConTEXTure:
                         f"{n} visible devices")
                 return create_mesh((n // sp, sp), ("views", "sp"))
             return create_mesh((n,), ("views",))
+        if tp > 1 or sp > 1:
+            raise ValueError(
+                f"optim.tensor_parallel={tp}/sequence_parallel={sp} "
+                f"requested but data_parallel='auto' builds no mesh on the "
+                f"{jax.default_backend()} backend — set "
+                "optim.data_parallel='on' to force one")
         return None
 
     def _build_sds_step(self, setup: Dict[str, Any], mesh=None):

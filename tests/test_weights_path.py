@@ -75,6 +75,23 @@ def test_ramping_loaded_from_model_index(tmp_path):
     assert not np.all(np.diff(pipe.ramping) >= 0)
 
 
+def test_ramping_missing_key_falls_back_to_default(tmp_path):
+    """A generic diffusers model_index.json without 'ramping_coefficients'
+    must warn + default, not crash with a KeyError (r3 code review)."""
+    from contexture_nerf_tpu.diffusion.zero123plus import (
+        Zero123PlusPipeline, Zero123PlusWeightPaths,
+        default_ramping_coefficients)
+
+    p = tmp_path / "model_index.json"
+    p.write_text(json.dumps({"_class_name": "SomePipeline"}))
+    with pytest.warns(UserWarning, match="ramping_coefficients"):
+        pipe = Zero123PlusPipeline(
+            weight_paths=Zero123PlusWeightPaths(
+                ramping_coefficients=str(p)), tiny=True)
+    np.testing.assert_allclose(pipe.ramping,
+                               default_ramping_coefficients(77))
+
+
 def test_ramping_plain_list_and_length_check(tmp_path):
     from contexture_nerf_tpu.diffusion.zero123plus import (
         Zero123PlusPipeline, Zero123PlusWeightPaths)
@@ -182,6 +199,10 @@ def test_load_concept_extends_table_and_tokenizer(tmp_path):
                                np.arange(table.shape[1]))
     ids = sd.tokenizer.encode("a photo of <my-style>")
     assert ids[-1] == rows  # concept token resolves to the new row
+    # adjacent punctuation must not defeat the added-token match (r3 code
+    # review; transformers' added-token matcher is punctuation-agnostic)
+    for prompt in ("a photo of <my-style>.", "<my-style>, studio light"):
+        assert rows in sd.tokenizer.encode(prompt), prompt
     # the text encoder consumes the extended table without shape errors
     out = sd.text_encoder.apply(sd.params["text"],
                                 np.asarray(sd.tokenizer(["<my-style>"])))

@@ -15,49 +15,47 @@ import argparse
 import functools
 import json
 import os
-import statistics
-import time
 
 os.environ.setdefault("JAX_PLATFORMS", "axon,tpu,cpu")
 
+# same median-of-repeated-windows method as bench.py (shared helper so the
+# ablation numbers stay methodologically comparable to the bench's), and
+# the canonical GroupNorm dispatch captured before any build() patches it —
+# without the restore below, --mode all measured the int8 pipeline with the
+# fakegn stand-in still installed (different model than total_ms; r3 review)
+from contexture_nerf_tpu.core.timing import median_iqr_ms, timed_windows
+from contexture_nerf_tpu.ops.groupnorm import group_norm_silu as _REAL_GN
+
 
 def timeit(fn, ready, n=20, reps=3):
-    out = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        r = None
-        for _ in range(n):
-            r = fn()
-        ready(r)
-        out.append((time.perf_counter() - t0) / n)
-    return statistics.median(out) * 1000.0
+    return median_iqr_ms(timed_windows(fn, ready, n, reps))[0]
 
 
 def build(gn="pallas", int8_cn=False):
     import jax
     import jax.numpy as jnp
 
-    if gn != "pallas":
-        import contexture_nerf_tpu.ops.groupnorm as GN
+    import contexture_nerf_tpu.diffusion.layers as L
+    import contexture_nerf_tpu.ops.groupnorm as GN
 
-        if gn == "fake":
-            # statistics-free stand-in: keeps the per-channel affine +
-            # activation + cast (1 read + 1 write) but drops the stats
-            # pass — the upper bound on what ANY GroupNorm implementation
-            # could still recover
-            def impl(x, scale, bias, groups=32, eps=1e-5, act=True,
-                     out_dtype=None):
-                y = x.astype(jnp.float32) * scale + bias
-                if act:
-                    y = y * jax.nn.sigmoid(y)
-                return y.astype(out_dtype or x.dtype)
-        else:  # "xla": let XLA fuse the pure-JAX reference
-            impl = GN.group_norm_silu_reference
+    if gn == "fake":
+        # statistics-free stand-in: keeps the per-channel affine +
+        # activation + cast (1 read + 1 write) but drops the stats
+        # pass — the upper bound on what ANY GroupNorm implementation
+        # could still recover
+        def impl(x, scale, bias, groups=32, eps=1e-5, act=True,
+                 out_dtype=None):
+            y = x.astype(jnp.float32) * scale + bias
+            if act:
+                y = y * jax.nn.sigmoid(y)
+            return y.astype(out_dtype or x.dtype)
+    elif gn == "xla":  # let XLA fuse the pure-JAX reference
+        impl = GN.group_norm_silu_reference
+    else:
+        impl = _REAL_GN  # restore: a prior build() may have patched these
 
-        GN.group_norm_silu = impl
-        import contexture_nerf_tpu.diffusion.layers as L
-
-        L.group_norm_silu = impl  # layers imported the symbol by value
+    GN.group_norm_silu = impl
+    L.group_norm_silu = impl  # layers imported the symbol by value
 
     from contexture_nerf_tpu.diffusion.zero123plus import Zero123PlusPipeline
 
