@@ -13,7 +13,6 @@ pyrallis is not a dependency here; `load_config` implements the same contract:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 from dataclasses import dataclass, field, fields, is_dataclass
 from pathlib import Path
 from typing import Any, List, Optional, Tuple

@@ -14,11 +14,9 @@ id range and special-token layout, so every downstream shape/flow is exercised.
 
 from __future__ import annotations
 
-import gzip
 import html
 import json
 import os
-from functools import lru_cache
 from typing import List, Optional
 
 import flax.linen as nn

@@ -7,7 +7,6 @@ toolchain is unavailable."""
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 from typing import Optional, Tuple

@@ -5,7 +5,6 @@ its own procedurally so the repo stays source-only. Run once:
     python tools/make_shapes.py
 """
 
-import os
 from pathlib import Path
 
 import numpy as np
