@@ -58,6 +58,28 @@ def test_depth_and_inpaint_unets_differ_only_in_conv_in():
         (inpaint.in_channels - 4) * 3 * 3 * c0
 
 
+def test_clip_towers_match_published_openclip_vit_h():
+    """Vision: exactly the published OpenCLIP ViT-H/14 visual count.
+    Text: SD2 ships the TRUNCATED 23-layer text tower (conditioning on the
+    penultimate layer; stabilityai/stable-diffusion-2 text_encoder config
+    has num_hidden_layers=23) — 50.69M embeddings + 23 x 12.59M layers, not
+    the full 24-layer/354M OpenCLIP tower."""
+    from contexture_nerf_tpu.diffusion.clip import (CLIPTextConfig,
+                                                    CLIPTextModel,
+                                                    CLIPVisionConfig,
+                                                    CLIPVisionModelWithProjection)
+
+    t = CLIPTextModel(CLIPTextConfig.sd2())
+    ts = jax.eval_shape(t.init, jax.random.PRNGKey(0),
+                        jnp.zeros((1, 77), jnp.int32))
+    assert _count(ts) == 340_387_840
+
+    v = CLIPVisionModelWithProjection(CLIPVisionConfig.vit_h())
+    vs = jax.eval_shape(v.init, jax.random.PRNGKey(0),
+                        jnp.zeros((1, 3, 224, 224)))
+    assert _count(vs) == 632_076_800
+
+
 def test_vae_matches_published_sd():
     from contexture_nerf_tpu.diffusion.vae import AutoencoderKL, VAEConfig
 
