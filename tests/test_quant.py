@@ -214,3 +214,18 @@ def test_config_knob_reaches_pipeline(tmp_path):
 
     trainer = ConTEXTure(cfg, tiny_models=True, backend="xla")
     assert trainer.zero123plus.controlnet.quant is True
+
+    # one PRODUCTION SDS step through the quantized teacher: finite loss,
+    # finite updated params
+    import jax.numpy as jnp
+
+    setup = trainer.prepare_sds(skip_bootstrap=True)
+    step, optimizer, hot = trainer._build_sds_step(setup, None)
+    params = trainer.texture_params
+    opt_state = optimizer.init(params)
+    params, _, loss, grad_norm, _, _ = step(
+        params, opt_state, jnp.asarray([500], jnp.int32),
+        jax.random.PRNGKey(0), hot)
+    assert np.isfinite(float(loss)) and np.isfinite(float(grad_norm))
+    assert all(np.isfinite(np.asarray(p)).all()
+               for p in jax.tree.leaves(params))
