@@ -170,7 +170,10 @@ class OptimConfig:
     # transformer matmuls) as dynamic W8A8 int8 on the MXU's 2x int8 path
     # (ops/quant.py). Forward-only inference optimization of the
     # stop-gradiented SDS teacher; params stay bf16 masters. Off by default
-    # (bit-parity with the reference's fp16 autocast path).
+    # (bit-parity with the reference's fp16 autocast path). Validate output
+    # quality against the bf16 path once real checkpoints load — the
+    # random-weights parity tests bound per-module error, not end-to-end
+    # guidance quality (tests/test_quant.py NOTE).
     int8_controlnet: bool = False
 
 
