@@ -80,6 +80,47 @@ def test_clip_towers_match_published_openclip_vit_h():
     assert _count(vs) == 632_076_800
 
 
+def test_controlnet_mirrors_unet_encoder_leaf_for_leaf():
+    """The depth ControlNet copies the paired UNet's encoder (diffusers
+    ControlNetModel.from_unet; reference attaches controlnet-zp11-depth-v1,
+    src/training/trainer.py:302-304). Every shared subtree — conv_in, time
+    embedding, down blocks, mid block — must match the UNet leaf-for-leaf
+    at FULL size, or converted ControlNet checkpoints won't drop in."""
+    from contexture_nerf_tpu.diffusion.controlnet import ControlNet
+    from contexture_nerf_tpu.diffusion.unet import UNet2DCondition, UNetConfig
+
+    cfg = UNetConfig.zero123plus()
+    unet_shapes = jax.eval_shape(
+        UNet2DCondition(cfg).init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 4, 24, 16)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, cfg.cross_attention_dim)))["params"]
+    cn_shapes = jax.eval_shape(
+        ControlNet(cfg).init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 4, 24, 16)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, cfg.cross_attention_dim)),
+        jnp.zeros((1, 3, 192, 128)))["params"]
+
+    shared = [n for n in cn_shapes
+              if n.startswith(("down_", "mid_")) or
+              n in ("conv_in", "time_embedding")]
+    assert len(shared) > 10
+    flat_u = jax.tree_util.tree_flatten_with_path(
+        {n: unet_shapes[n] for n in shared})[0]
+    flat_c = jax.tree_util.tree_flatten_with_path(
+        {n: cn_shapes[n] for n in shared})[0]
+    assert len(flat_u) == len(flat_c)
+    for (pu, su), (pc, sc) in zip(flat_u, flat_c):
+        assert pu == pc and su.shape == sc.shape, (pu, pc)
+    # the ControlNet-only parts: hint embedder + one zero conv per residual
+    extra = set(cn_shapes) - set(shared)
+    assert "controlnet_cond_embedding" in extra
+    assert "controlnet_mid_block" in extra
+    n_down = len([n for n in extra if n.startswith("controlnet_down_blocks")])
+    # 12 residuals for the SD2 encoder: conv_in + 2 resnets per level (x4)
+    # + 3 downsamples
+    assert n_down == 12, sorted(extra)
+
+
 def test_vae_matches_published_sd():
     from contexture_nerf_tpu.diffusion.vae import AutoencoderKL, VAEConfig
 
