@@ -37,20 +37,31 @@ os.environ.setdefault("JAX_PLATFORMS", "axon,tpu,cpu")
 from contexture_nerf_tpu.core.timing import (median_iqr_ms as _median_iqr_ms,
                                              timed_windows as _timed_windows)
 
+
+def _enable_compile_cache():
+    """Persistent compile cache (same dir as the CLI's): the bench compiles
+    the full towers 4+ times; cached, reruns skip ~10 min of XLA work."""
+    import jax
+
+    cache_dir = os.environ.get("CTN_JAX_CACHE",
+                               os.path.expanduser("~/.cache/ctnerf_jax"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 A100_REF_STEPS_PER_SEC = 5.5
 # bf16 peak per chip by device kind (fallback 197 TFLOP/s = v5e)
 PEAK_BF16 = {"TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v4": 275e12,
              "TPU v5p": 459e12, "TPU v6e": 918e12}
 
 
-def bench_teacher(tiny, int8=False):
+def bench_teacher(tiny, int8=False, int8_full=False):
     import jax
     import jax.numpy as jnp
 
     from contexture_nerf_tpu.diffusion.zero123plus import Zero123PlusPipeline
 
     pipe = Zero123PlusPipeline(tiny=tiny, dtype=jnp.bfloat16, seed=0,
-                               int8_controlnet=int8)
+                               int8_controlnet=int8, int8_unet=int8_full)
     h, w = (24, 16) if tiny else (120, 80)
     cond_hw = 8 if tiny else 40
     latents = jnp.zeros((1, 4, h, w), jnp.float32)
@@ -140,6 +151,29 @@ def bench_trainer(tiny):
     samples = _timed_windows(one, jax.block_until_ready, n_iters, reps)
     iter_ms, iter_iqr = _median_iqr_ms(samples)
 
+    # (a2) tile-local backward (optim.local_sds_grad): identical forward,
+    # gradient restricted to a margin-padded slice around the sampled tile
+    local_ms = None
+    try:
+        trainer.cfg.optim.local_sds_grad = True
+        step_l, opt_l, hot_l = trainer._build_sds_step(setup, None)
+        opt_state_l = opt_l.init(params)
+        jax.block_until_ready(step_l(params, opt_state_l, t, key, hot_l))
+        st = {"p": params, "o": opt_state_l}
+
+        def one_local():
+            st["p"], st["o"], loss, gn, fi, grid = step_l(
+                st["p"], st["o"], t, key, hot_l)
+            return loss
+
+        samples_l = _timed_windows(one_local, jax.block_until_ready,
+                                   n_iters, reps)
+        local_ms, _ = _median_iqr_ms(samples_l)
+    except Exception as e:
+        local_ms = f"error: {type(e).__name__}: {str(e)[:200]}"
+    finally:
+        trainer.cfg.optim.local_sds_grad = False
+
     # (b) e2e slice: full paint() = bootstrap -> SDS loop -> eval -> video.
     # Phases come from the profiler with compile separated from steady state.
     profiler.GLOBAL_TIMINGS = profiler.Timings()
@@ -151,7 +185,7 @@ def bench_trainer(tiny):
            "sds_iters": cfg.optim.sds_iterations,
            "eval_poses": cfg.log.full_eval_size,
            "phases": phases}
-    return (iter_ms, iter_iqr), e2e
+    return (iter_ms, iter_iqr, local_ms), e2e
 
 
 def bench_sd2_denoise(tiny):
@@ -234,8 +268,13 @@ def backend_reachable(timeout_s=180):
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return True  # no tunnel in play; local backends don't hang
     try:
+        # pin the probe to the axon platform: an inherited JAX_PLATFORMS
+        # (e.g. cpu in the test suite) would otherwise "succeed" without
+        # ever touching the tunnel this watchdog exists to check
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c",
+             "import jax; jax.config.update('jax_platforms', 'axon'); "
+             "jax.devices()"],
             timeout=timeout_s, capture_output=True)
         return r.returncode == 0
     except subprocess.TimeoutExpired:
@@ -244,6 +283,7 @@ def backend_reachable(timeout_s=180):
 
 def main():
     tiny = bool(os.environ.get("BENCH_TINY"))
+    _enable_compile_cache()
     if not backend_reachable():
         print(json.dumps({
             "metric": "zero123plus_teacher_denoise_steps_per_sec_chip",
@@ -266,9 +306,23 @@ def main():
         extra["teacher_int8_cn_steps_per_sec"] = \
             f"error: {type(e).__name__}: {str(e)[:200]}"
     try:
-        (iter_ms, iter_iqr), e2e = bench_trainer(tiny)
+        import gc
+
+        gc.collect()
+        # optim.int8_teacher: the FULL denoiser on the MXU's 2x int8 path
+        full_sps, full_iqr, _ = bench_teacher(tiny, int8_full=True)
+        extra["teacher_int8_full_steps_per_sec"] = round(full_sps, 3)
+        extra["teacher_int8_full_iqr_ms"] = round(full_iqr, 2)
+        gc.collect()
+    except Exception as e:
+        extra["teacher_int8_full_steps_per_sec"] = \
+            f"error: {type(e).__name__}: {str(e)[:200]}"
+    try:
+        (iter_ms, iter_iqr, local_ms), e2e = bench_trainer(tiny)
         extra["full_sds_iter_ms"] = round(iter_ms, 1)
         extra["full_sds_iter_iqr_ms"] = round(iter_iqr, 2)
+        extra["full_sds_iter_local_grad_ms"] = (
+            round(local_ms, 1) if isinstance(local_ms, float) else local_ms)
         extra["e2e_slice"] = e2e
     except Exception as e:  # never lose the primary metric
         extra["full_sds_iter_ms"] = f"error: {type(e).__name__}: {str(e)[:200]}"

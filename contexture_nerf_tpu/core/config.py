@@ -175,6 +175,28 @@ class OptimConfig:
     # random-weights parity tests bound per-module error, not end-to-end
     # guidance quality (tests/test_quant.py NOTE).
     int8_controlnet: bool = False
+    # Extend int8 from the ControlNet to the FULL Zero123++ teacher: every
+    # resnet/transformer/resample matmul of the denoiser UNet runs W8A8
+    # (conv_in/conv_out/time-embedding stay exact). Implies int8_controlnet.
+    # Same quality caveat as above, amplified — the main UNet is less
+    # quantization-tolerant than the residual-hint ControlNet.
+    int8_teacher: bool = False
+    # Tile-local SDS backward. The SDS loss reads ONE 40x40 latent tile per
+    # iteration (reference trainer.py:840-854) yet the default backward runs
+    # through the FULL 960x640 VAE encode + 614k-point MLP query — measured
+    # 187 ms of the 286 ms step (tools/student_ablation.py). With this on,
+    # the forward (loss value, teacher input, logged grid) stays identical,
+    # but gradients flow through a margin-padded slice around the sampled
+    # tile only: exact for the pointwise texture MLP; exact for the VAE up
+    # to receptive-field truncation at the slice border (controlled by
+    # local_sds_margin_px) and the encoder mid-attention's global term.
+    # Off by default (reference-parity gradients).
+    local_sds_grad: bool = False
+    # Margin in pixels (multiple of the VAE downsample factor) around the
+    # sampled tile for the local backward slice; larger = closer to the
+    # exact gradient. A margin covering the whole canvas reproduces the
+    # default gradient exactly (tested in tests/test_local_grad.py).
+    local_sds_margin_px: int = 64
 
 
 @dataclass

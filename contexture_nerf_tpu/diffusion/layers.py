@@ -119,13 +119,16 @@ class Downsample2D(nn.Module):
 class Upsample2D(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        cg = int8_conv_general_dilated if self.quant else None
         return nn.Conv(self.out_channels, (3, 3), padding=1,
-                       dtype=self.dtype, name="conv")(x)
+                       dtype=self.dtype, conv_general_dilated=cg,
+                       name="conv")(x)
 
 
 class CrossAttention(nn.Module):

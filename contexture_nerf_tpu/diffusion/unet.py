@@ -75,6 +75,12 @@ class UNetConfig:
 class UNet2DCondition(nn.Module):
     config: UNetConfig
     dtype: jnp.dtype = jnp.float32
+    # optim.int8_teacher: dynamic W8A8 on the MXU's 2x int8 path for every
+    # resnet/transformer/resample matmul (ops/quant.py). conv_in/conv_out and
+    # the timestep embedding stay exact — the edge layers are the most
+    # quantization-sensitive and contribute negligible FLOPs. Params stay
+    # bf16/f32 masters, so converter/checkpoint/TP specs are unchanged.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, sample: jnp.ndarray, timesteps: jnp.ndarray,
@@ -109,20 +115,20 @@ class UNet2DCondition(nn.Module):
         # -- down ---------------------------------------------------------
         for bi, out_ch in enumerate(cfg.block_out_channels):
             for li in range(cfg.layers_per_block):
-                h = ResnetBlock2D(out_ch, dtype=self.dtype,
+                h = ResnetBlock2D(out_ch, dtype=self.dtype, quant=self.quant,
                                   name=f"down_{bi}_resnet_{li}")(h, temb)
                 if is_cross[bi]:
                     h = Transformer2DModel(
                         cfg.num_heads[bi], out_ch // cfg.num_heads[bi],
                         depth=cfg.transformer_depth,
                         use_linear_projection=cfg.use_linear_projection,
-                        dtype=self.dtype,
+                        dtype=self.dtype, quant=self.quant,
                         name=f"down_{bi}_attn_{li}")(
                             h, context, ref_kv_list=ref_kv_list,
                             ref_out=ref_out)
                 res_stack.append(h)
             if bi < num_blocks - 1:
-                h = Downsample2D(out_ch, dtype=self.dtype,
+                h = Downsample2D(out_ch, dtype=self.dtype, quant=self.quant,
                                  name=f"down_{bi}_downsample")(h)
                 res_stack.append(h)
 
@@ -134,14 +140,16 @@ class UNet2DCondition(nn.Module):
 
         # -- mid ------------------------------------------------------------
         mid_ch = cfg.block_out_channels[-1]
-        h = ResnetBlock2D(mid_ch, dtype=self.dtype, name="mid_resnet_0")(h, temb)
+        h = ResnetBlock2D(mid_ch, dtype=self.dtype, quant=self.quant,
+                          name="mid_resnet_0")(h, temb)
         h = Transformer2DModel(
             cfg.num_heads[-1], mid_ch // cfg.num_heads[-1],
             depth=cfg.transformer_depth,
             use_linear_projection=cfg.use_linear_projection,
-            dtype=self.dtype, name="mid_attn")(
+            dtype=self.dtype, quant=self.quant, name="mid_attn")(
                 h, context, ref_kv_list=ref_kv_list, ref_out=ref_out)
-        h = ResnetBlock2D(mid_ch, dtype=self.dtype, name="mid_resnet_1")(h, temb)
+        h = ResnetBlock2D(mid_ch, dtype=self.dtype, quant=self.quant,
+                          name="mid_resnet_1")(h, temb)
         if mid_residual is not None:
             mr = mid_residual
             if mr.ndim == 4 and mr.shape[1] == h.shape[-1]:
@@ -157,19 +165,19 @@ class UNet2DCondition(nn.Module):
             for li in range(cfg.layers_per_block + 1):
                 skip = res_stack.pop()
                 h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
-                h = ResnetBlock2D(out_ch, dtype=self.dtype,
+                h = ResnetBlock2D(out_ch, dtype=self.dtype, quant=self.quant,
                                   name=f"up_{bi}_resnet_{li}")(h, temb)
                 if is_cross[bi]:
                     h = Transformer2DModel(
                         cfg.num_heads[bi], out_ch // cfg.num_heads[bi],
                         depth=cfg.transformer_depth,
                         use_linear_projection=cfg.use_linear_projection,
-                        dtype=self.dtype,
+                        dtype=self.dtype, quant=self.quant,
                         name=f"up_{bi}_attn_{li}")(
                             h, context, ref_kv_list=ref_kv_list,
                             ref_out=ref_out)
             if bi > 0:
-                h = Upsample2D(out_ch, dtype=self.dtype,
+                h = Upsample2D(out_ch, dtype=self.dtype, quant=self.quant,
                                name=f"up_{bi}_upsample")(h)
 
         h = GroupNormSiLU(32, 1e-5, out_dtype=self.dtype,

@@ -123,10 +123,12 @@ class Zero123PlusPipeline:
     def __init__(self, conditioning_scale: float = 2.0,
                  weight_paths: Optional[Zero123PlusWeightPaths] = None,
                  tiny: bool = False, dtype: jnp.dtype = jnp.float32,
-                 seed: int = 0, int8_controlnet: bool = False):
+                 seed: int = 0, int8_controlnet: bool = False,
+                 int8_unet: bool = False):
         self.conditioning_scale = conditioning_scale
         self.dtype = dtype
         self.int8_controlnet = int8_controlnet
+        self.int8_unet = int8_unet
         if tiny:
             self.unet_config = UNetConfig.tiny(in_channels=4)
             self.vae_config = VAEConfig.tiny()
@@ -140,12 +142,15 @@ class Zero123PlusPipeline:
             self.text_config = CLIPTextConfig.sd2()
             self.vision_config = CLIPVisionConfig.vit_h()
 
-        self.unet = UNet2DCondition(self.unet_config, dtype=dtype)
-        # optim.int8_controlnet: W8A8 dynamic quantization of the heavy
-        # ControlNet blocks on the MXU's 2x int8 path (ops/quant.py); params
-        # stay bf16 masters so init/convert/checkpoint paths are identical
+        # optim.int8_controlnet / optim.int8_teacher: W8A8 dynamic
+        # quantization of the heavy blocks on the MXU's 2x int8 path
+        # (ops/quant.py); params stay bf16 masters so init/convert/checkpoint
+        # paths are identical. int8_unet extends it from the ControlNet
+        # (~1/4 of teacher FLOPs) to the full denoiser.
+        self.unet = UNet2DCondition(self.unet_config, dtype=dtype,
+                                    quant=int8_unet)
         self.controlnet = ControlNet(self.unet_config, dtype=dtype,
-                                     quant=int8_controlnet)
+                                     quant=int8_controlnet or int8_unet)
         self.vae = AutoencoderKL(self.vae_config, dtype=dtype)
         self.text_encoder = CLIPTextModel(self.text_config, dtype=dtype)
         self.vision_encoder = CLIPVisionModelWithProjection(

@@ -242,7 +242,8 @@ class ConTEXTure:
         return Zero123PlusPipeline(conditioning_scale=2.0, weight_paths=wp,
                                    tiny=self.tiny, dtype=dtype,
                                    seed=self.cfg.optim.seed,
-                                   int8_controlnet=self.cfg.optim.int8_controlnet)
+                                   int8_controlnet=self.cfg.optim.int8_controlnet,
+                                   int8_unet=self.cfg.optim.int8_teacher)
 
     def _calc_text_embeddings(self):
         ref_text = self.cfg.guide.text
@@ -643,6 +644,22 @@ class ConTEXTure:
 
         grid_hw = (3 * tile_px, 2 * tile_px)
 
+        local_grad = bool(cfg.optim.local_sds_grad)
+        if local_grad and exact_render:
+            raise ValueError(
+                "optim.local_sds_grad requires the default fused-query "
+                "render path; optim.exact_lattice_render backpropagates "
+                "through the rasterizer cache instead")
+        margin_px = int(cfg.optim.local_sds_margin_px)
+        if margin_px % vae_down:
+            raise ValueError(
+                f"optim.local_sds_margin_px={margin_px} must be a multiple "
+                f"of the VAE downsample factor {vae_down}")
+        # backward-slice dims: tile + 2*margin, clamped to the canvas and
+        # kept latent-aligned (grid_hw and tile_px are vae_down multiples)
+        sl_h = min(tile_px + 2 * margin_px, grid_hw[0])
+        sl_w = min(tile_px + 2 * margin_px, grid_hw[1])
+
         def render_grid_latent(params, hot, key):
             if exact_render:
                 texture, mlp_out = mesh_model.get_texture_map(params)
@@ -702,6 +719,87 @@ class ConTEXTure:
             z = constrain(z, 2)
             return scale_latents(z), grid, mlp_out
 
+        def render_grid_latent_local(params, hot, key, tile_idx):
+            """optim.local_sds_grad: full-canvas render + VAE encode run
+            FORWARD-ONLY (identical loss value / teacher input / logged grid
+            to the default path — the full path below sees stop-gradiented
+            params and the grafted deltas are zero in value), while the
+            gradient flows through a (sl_h, sl_w) slice around the sampled
+            tile: the pointwise texture-MLP gradient is exact; the VAE
+            gradient is exact up to receptive-field truncation at the slice
+            border. A slice covering the whole canvas reproduces the default
+            gradient (tests/test_local_grad.py)."""
+            z_full, grid_full, mlp_out = render_grid_latent(
+                jax.lax.stop_gradient(params), hot, key)
+            # column-major tile order (ops/grid.py: idx = 3*col + row)
+            row = tile_idx % 3
+            col = tile_idx // 3
+            oy = jnp.clip(row * tile_px - (sl_h - tile_px) // 2, 0,
+                          grid_hw[0] - sl_h)
+            ox = jnp.clip(col * tile_px - (sl_w - tile_px) // 2, 0,
+                          grid_hw[1] - sl_w)
+            oy = (oy // vae_down) * vae_down  # keep latent-aligned
+            ox = (ox // vae_down) * vae_down
+
+            # differentiable patch: query only the slice's UV points
+            # (precompute_uv_embedding's kernel is bypassed here — the two
+            # optimizations are alternatives, and the patch is 1/3 canvas)
+            pts_hw = hot["uv_grid_pts"].reshape(grid_hw[0], grid_hw[1], 2)
+            pts_sl = jax.lax.dynamic_slice(pts_hw, (oy, ox, 0),
+                                           (sl_h, sl_w, 2))
+            rgb_sl = mesh_model.query_texture_at_uv(
+                params, pts_sl.reshape(-1, 2), allow_fused=(mesh is None),
+                compute_dtype=zero123plus.dtype)
+            if hot["edit_mask_pts"] is not None:
+                m_hw = hot["edit_mask_pts"].reshape(
+                    grid_hw[0], grid_hw[1], 1)
+                m_sl = jax.lax.dynamic_slice(
+                    m_hw, (oy, ox, 0), (sl_h, sl_w, 1)).reshape(-1, 1)
+                rgb_sl = m_sl * rgb_sl + \
+                    (1 - m_sl) * jax.lax.stop_gradient(rgb_sl)
+            patch = jnp.transpose(rgb_sl.reshape(sl_h, sl_w, 3),
+                                  (2, 0, 1))[None]
+            mg = hot["mask_grid"]
+            mask_sl = jax.lax.dynamic_slice(
+                mg, (0, 0, oy, ox), (1, mg.shape[1], sl_h, sl_w))
+            patch = jnp.clip(patch * mask_sl + 0.5 * (1 - mask_sl),
+                             0.0, 1.0)
+            patch = scale_image(patch * 2 - 1)
+            grid = jax.lax.dynamic_update_slice(
+                grid_full, patch.astype(grid_full.dtype), (0, 0, oy, ox))
+            grid = constrain(grid, 2)
+
+            # local VAE encode of the slice, reusing the full path's exact
+            # noise draw (sample_gaussian: mean + exp(0.5*logvar) *
+            # normal(key, mean.shape, mean.dtype), diffusion/vae.py:164-168)
+            g_sl = jax.lax.dynamic_slice(grid, (0, 0, oy, ox),
+                                         (1, 3, sl_h, sl_w))
+            mean_l, logvar_l = vae.apply(hot["vae_params"], g_sl,
+                                         method=vae.encode_moments)
+            eps = jax.random.normal(key, z_full.shape, mean_l.dtype)
+            eps_l = jax.lax.dynamic_slice(
+                eps, (0, 0, oy // vae_down, ox // vae_down),
+                (1, eps.shape[1], sl_h // vae_down, sl_w // vae_down))
+            z_l = (mean_l + jnp.exp(0.5 * logvar_l) * eps_l) * \
+                zero123plus.vae_config.scaling_factor
+            z_l = scale_latents(z_l)
+
+            # graft the tile's gradient into the forward-exact full latent
+            ty = (row * tile_px - oy) // vae_down
+            tx = (col * tile_px - ox) // vae_down
+            C = z_full.shape[1]
+            z_l_tile = jax.lax.dynamic_slice(
+                z_l, (0, 0, ty, tx), (1, C, lat_tile, lat_tile))
+            zy, zx = row * lat_tile, col * lat_tile
+            z_tile_full = jax.lax.dynamic_slice(
+                z_full, (0, 0, zy, zx), (1, C, lat_tile, lat_tile))
+            delta = (z_l_tile -
+                     jax.lax.stop_gradient(z_l_tile)).astype(z_full.dtype)
+            z = jax.lax.dynamic_update_slice(z_full, z_tile_full + delta,
+                                             (0, 0, zy, zx))
+            z = constrain(z, 2)
+            return z, grid, mlp_out
+
         def sds_step(params, opt_state, t, key, hot):
             k_enc, k_noise, k_teach, k_tile = jax.random.split(key, 4)
             # view-weighted tile sampling (uniform in the reference,
@@ -709,7 +807,11 @@ class ConTEXTure:
             tile_idx = jax.random.choice(k_tile, 6, p=hot["tile_probs"])
 
             def loss_fn(p):
-                z, grid, mlp_out = render_grid_latent(p, hot, k_enc)
+                if local_grad:
+                    z, grid, mlp_out = render_grid_latent_local(
+                        p, hot, k_enc, tile_idx)
+                else:
+                    z, grid, mlp_out = render_grid_latent(p, hot, k_enc)
                 z_sg = jax.lax.stop_gradient(z)
                 noise = jax.random.normal(k_noise, z.shape)
                 latents_noisy = sch.add_noise(acp, z_sg, noise, t)

@@ -205,6 +205,65 @@ def test_int8_teacher_under_tp_mesh_matches_unsharded():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_int8_unet_param_tree_invariant_and_close():
+    """optim.int8_teacher quantizes the full denoiser UNet: the param tree is
+    identical to the exact module (weights stay bf16/f32 masters) and the
+    quantized forward tracks the exact one at W8A8-level error."""
+    from contexture_nerf_tpu.diffusion.unet import UNet2DCondition, UNetConfig
+
+    cfg = UNetConfig.tiny(in_channels=4)
+    exact = UNet2DCondition(cfg, dtype=jnp.float32)
+    quant = UNet2DCondition(cfg, dtype=jnp.float32, quant=True)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 16, 16)) * 0.5
+    ehs = jax.random.normal(jax.random.PRNGKey(2), (1, 77, 32)) * 0.1
+    t = jnp.asarray([500], jnp.int32)
+    params = jax.jit(exact.init)(jax.random.PRNGKey(0), lat, t, ehs)
+    qparams = jax.jit(quant.init)(jax.random.PRNGKey(0), lat, t, ehs)
+    assert jax.tree.structure(qparams) == jax.tree.structure(params)
+    for a, b in zip(jax.tree.leaves(qparams), jax.tree.leaves(params)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+    out_e = exact.apply(params, lat, t, ehs)
+    out_q = quant.apply(params, lat, t, ehs)
+    assert np.isfinite(np.asarray(out_q)).all()
+    # random weights lack trained quantization robustness; bound the drift
+    # rather than demand trained-checkpoint-level (~1%) accuracy
+    assert _rel_err(out_q, out_e) < 0.25, _rel_err(out_q, out_e)
+
+
+def test_int8_teacher_config_knob(tmp_path):
+    """optim.int8_teacher reaches the UNet AND implies the ControlNet path;
+    one production SDS step through the fully quantized teacher stays
+    finite."""
+    from contexture_nerf_tpu.core.config import config_from_dict
+    from contexture_nerf_tpu.training.trainer import ConTEXTure
+    from tools.make_shapes import uv_sphere, write_obj
+
+    sphere = tmp_path / "sphere.obj"
+    write_obj(sphere, *uv_sphere(6, 8))
+    cfg = config_from_dict({
+        "log": {"exp_name": "q8", "exp_root": str(tmp_path / "exp"),
+                "log_images": False, "save_mesh": False},
+        "render": {"train_grid_size": 32, "eval_grid_size": 32},
+        "guide": {"text": "q8", "shape_path": str(sphere),
+                  "texture_resolution": 16},
+        "optim": {"seed": 0, "sds_iterations": 1, "int8_teacher": True},
+    })
+    assert cfg.optim.int8_teacher is True
+    trainer = ConTEXTure(cfg, tiny_models=True, backend="xla")
+    assert trainer.zero123plus.unet.quant is True
+    assert trainer.zero123plus.controlnet.quant is True
+
+    setup = trainer.prepare_sds(skip_bootstrap=True)
+    step, optimizer, hot = trainer._build_sds_step(setup, None)
+    params = trainer.texture_params
+    opt_state = optimizer.init(params)
+    params, _, loss, grad_norm, _, _ = step(
+        params, opt_state, jnp.asarray([500], jnp.int32),
+        jax.random.PRNGKey(0), hot)
+    assert np.isfinite(float(loss)) and np.isfinite(float(grad_norm))
+
+
 def test_config_knob_reaches_pipeline(tmp_path):
     from contexture_nerf_tpu.core.config import config_from_dict
     from tools.make_shapes import uv_sphere, write_obj

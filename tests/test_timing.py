@@ -40,12 +40,15 @@ def test_profiler_timings_split_compile_from_steady():
     assert s["eval"]["steady_mean_ms"] is None
 
 
-def test_bench_watchdog_detects_dead_tunnel():
-    """bench.backend_reachable: no tunnel env -> True without probing;
-    dead tunnel -> False within the probe timeout (the round-end driver
-    must get an error JSON, never a hang)."""
+def test_bench_watchdog_detects_dead_tunnel(monkeypatch):
+    """bench.backend_reachable: no tunnel env -> True WITHOUT probing; with
+    the tunnel env, a hung or failing device-discovery probe -> False (the
+    round-end driver must get an error JSON, never a hang). The probe
+    subprocess is stubbed — whether a REAL dead tunnel hangs or errors is
+    environment behavior this unit test can't control (observed r3: the
+    axon plugin ignores a bogus PALLAS_AXON_POOL_IPS and connects anyway)."""
     import importlib.util
-    import os
+    import subprocess
     from pathlib import Path
 
     spec = importlib.util.spec_from_file_location(
@@ -54,15 +57,30 @@ def test_bench_watchdog_detects_dead_tunnel():
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
 
-    had = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-    try:
-        assert bench.backend_reachable() is True
-        os.environ["PALLAS_AXON_POOL_IPS"] = "10.255.255.1"
-        assert bench.backend_reachable(timeout_s=15) is False
-    finally:
-        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-        if had is not None:
-            os.environ["PALLAS_AXON_POOL_IPS"] = had
+    def probe_forbidden(*a, **kw):
+        raise AssertionError("no tunnel env -> must not probe")
+
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.setattr(subprocess, "run", probe_forbidden)
+    assert bench.backend_reachable() is True
+
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.255.255.1")
+
+    def probe_hangs(cmd, timeout, **kw):
+        assert "axon" in cmd[-1]  # the probe must pin the tunnel platform
+        raise subprocess.TimeoutExpired(cmd, timeout)
+
+    monkeypatch.setattr(subprocess, "run", probe_hangs)
+    assert bench.backend_reachable(timeout_s=1) is False
+
+    class R:
+        returncode = 1
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **kw: R())
+    assert bench.backend_reachable(timeout_s=1) is False
+
+    R.returncode = 0
+    assert bench.backend_reachable(timeout_s=1) is True
 
 
 def test_median_iqr_small_and_large():

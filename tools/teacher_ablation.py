@@ -31,7 +31,7 @@ def timeit(fn, ready, n=20, reps=3):
     return median_iqr_ms(timed_windows(fn, ready, n, reps))[0]
 
 
-def build(gn="pallas", int8_cn=False):
+def build(gn="pallas", int8_cn=False, int8_full=False):
     import jax
     import jax.numpy as jnp
 
@@ -60,7 +60,7 @@ def build(gn="pallas", int8_cn=False):
     from contexture_nerf_tpu.diffusion.zero123plus import Zero123PlusPipeline
 
     return Zero123PlusPipeline(tiny=False, dtype=jnp.bfloat16, seed=0,
-                               int8_controlnet=int8_cn)
+                               int8_controlnet=int8_cn, int8_unet=int8_full)
 
 
 def teacher_args(pipe):
@@ -188,7 +188,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="all",
                     choices=["all", "check", "total", "xla", "parts",
-                             "fakegn", "xlagn", "int8"])
+                             "fakegn", "xlagn", "int8", "int8full"])
     args = ap.parse_args()
     res = {}
     if args.mode in ("all", "check"):
@@ -219,6 +219,12 @@ def main():
         # optim.int8_controlnet: heavy ControlNet blocks on the 2x int8 MXU
         pipe = build(int8_cn=True)
         res["total_int8_cn_ms"] = bench_total(pipe)
+        del pipe
+        gc.collect()
+    if args.mode in ("all", "int8full"):
+        # optim.int8_teacher: the FULL denoiser on the 2x int8 MXU path
+        pipe = build(int8_full=True)
+        res["total_int8_full_ms"] = bench_total(pipe)
     print(json.dumps({k: round(v, 4) for k, v in res.items()}))
 
 
