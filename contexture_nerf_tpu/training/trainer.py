@@ -981,6 +981,7 @@ class ConTEXTure:
         ikl_running_avg = None
         t_schedule_np = np.asarray(t_schedule)
         t0 = time.time()
+        win_t0, win_i0 = None, start_iter
         for i in range(start_iter, iterations):
             self.key, sub = jax.random.split(self.key)
             t = jnp.asarray([int(t_schedule_np[i])], jnp.int32)
@@ -989,6 +990,15 @@ class ConTEXTure:
                     sds_step_jit(params, opt_state, t, sub, hot)
             if i % 50 == 0 or i == iterations - 1:
                 loss_f = float(loss)
+                # float(loss) drained the device queue: note the
+                # sync-to-sync window so timings.json carries the
+                # device-inclusive per-iteration rate, not just the ~6 ms
+                # async dispatch time the phase above measures
+                now = time.time()
+                if win_t0 is not None and i > win_i0:
+                    profiler.GLOBAL_TIMINGS.note_window(
+                        "sds_step", i - win_i0, now - win_t0)
+                win_t0, win_i0 = now, i
                 fisher_f = float(fisher)
                 ikl_running_avg = (fisher_f if ikl_running_avg is None
                                    else 0.99 * ikl_running_avg

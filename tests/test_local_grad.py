@@ -87,6 +87,36 @@ def test_small_margin_identical_forward_finite_grads(tmp_path):
                for p in jax.tree.leaves(p_l))
 
 
+def test_local_grad_composes_with_data_parallel(tmp_path):
+    """local_sds_grad under the 8-device views mesh: the dynamic-sliced
+    backward path must produce the same step as the unsharded local path
+    (the canvas tensors are spatially sharded; the slices cross shard
+    boundaries)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    tr = make_trainer(tmp_path, local_sds_grad=True, local_sds_margin_px=4)
+    (p_1, _, loss_1, gn_1, _, _), _ = run_step(tr)
+
+    tr_dp = make_trainer(tmp_path, local_sds_grad=True,
+                         local_sds_margin_px=4, data_parallel="on")
+    mesh = tr_dp._make_mesh()
+    assert mesh is not None and mesh.shape["views"] == 8
+    setup = tr_dp.prepare_sds(skip_bootstrap=True)
+    step, optimizer, hot = tr_dp._build_sds_step(setup, mesh)
+    rep = NamedSharding(mesh, P())
+    params = jax.device_put(tr_dp.texture_params, rep)
+    opt_state = jax.device_put(optimizer.init(params), rep)
+    p_8, _, loss_8, gn_8, _, _ = step(
+        params, opt_state, jnp.asarray([500], jnp.int32),
+        jax.random.PRNGKey(3), hot)
+
+    np.testing.assert_allclose(float(loss_8), float(loss_1), rtol=1e-4)
+    np.testing.assert_allclose(float(gn_8), float(gn_1), rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(p_8), jax.tree.leaves(p_1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3 * tr.cfg.optim.sds_lr)
+
+
 def test_margin_must_be_latent_aligned(tmp_path):
     tr = make_trainer(tmp_path, local_sds_grad=True, local_sds_margin_px=3)
     setup = tr.prepare_sds(skip_bootstrap=True)

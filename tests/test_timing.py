@@ -40,6 +40,33 @@ def test_profiler_timings_split_compile_from_steady():
     assert s["eval"]["steady_mean_ms"] is None
 
 
+def test_profiler_windowed_device_rate():
+    """Async phases (the SDS loop dispatches without blocking) report a
+    device-inclusive window_iter_ms from sync-to-sync windows, next to the
+    dispatch-only steady_mean_ms — otherwise timings.json shows a ~6 ms
+    'mean' for a 285 ms device step."""
+    from contexture_nerf_tpu.core.profiler import Timings
+
+    t = Timings()
+    t.add("sds_step", 150.0)            # compile call
+    for _ in range(4):
+        t.add("sds_step", 0.006)        # async dispatch
+    t.note_window("sds_step", 50, 14.25)   # 50 iters between syncs
+    t.note_window("sds_step", 50, 14.35)
+    t.note_window("sds_step", 0, 99.0)     # ignored: no iters covered
+    s = t.summary()
+    assert abs(s["sds_step"]["window_iter_ms"] - 286.0) < 1e-6
+    assert s["sds_step"]["windows"] == 2
+    assert abs(s["sds_step"]["steady_mean_ms"] - 6.0) < 1e-6
+
+    # window-only phase (no add() calls) must still appear
+    t2 = Timings()
+    t2.note_window("loop", 10, 1.0)
+    s2 = t2.summary()
+    assert s2["loop"]["first_call_s"] is None
+    assert abs(s2["loop"]["window_iter_ms"] - 100.0) < 1e-6
+
+
 def test_bench_watchdog_detects_dead_tunnel(monkeypatch):
     """bench.backend_reachable: no tunnel env -> True WITHOUT probing; with
     the tunnel env, a hung or failing device-discovery probe -> False (the
