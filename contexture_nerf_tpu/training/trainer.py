@@ -109,6 +109,13 @@ class ConTEXTure:
         self.view_weights = None
         self._median_eval = False
 
+        # async image logging (core/imagewriter.py): the loop thread never
+        # blocks on device->host fetch + PNG encode + disk IO
+        from contexture_nerf_tpu.core.imagewriter import (AsyncImageWriter,
+                                                          sync_writer)
+        self._img_writer = (AsyncImageWriter()
+                            if cfg.log.async_image_writer else sync_writer())
+
         # optional wandb (the reference hard-wires it, trainer.py:665-668;
         # here metrics.json is always written and wandb is opt-in)
         self._wandb = None
@@ -980,6 +987,21 @@ class ConTEXTure:
                 pass
         ikl_running_avg = None
         t_schedule_np = np.asarray(t_schedule)
+        if self.cfg.log.log_images:
+            # pre-compile the logging graphs (texture-map render + uint8
+            # quantize): their first-call compile otherwise lands inside the
+            # loop's first timing window and on its critical path
+            if not hasattr(self, "_texmap_jit"):
+                model = self.mesh_model
+                self._texmap_jit = jax.jit(
+                    lambda p: self._quantize_chw(
+                        model.get_texture_map(p)[0][0]))
+            jax.block_until_ready(self._texmap_jit(params))
+            if not hasattr(self, "_quant_jit"):
+                self._quant_jit = jax.jit(self._quantize_chw)
+            grid_hw = (3 * self.tile_px, 2 * self.tile_px)
+            jax.block_until_ready(
+                self._quant_jit(jnp.zeros((3,) + grid_hw, jnp.float32)))
         t0 = time.time()
         win_t0, win_i0 = None, start_iter
         for i in range(start_iter, iterations):
@@ -994,11 +1016,9 @@ class ConTEXTure:
                 # sync-to-sync window so timings.json carries the
                 # device-inclusive per-iteration rate, not just the ~6 ms
                 # async dispatch time the phase above measures
-                now = time.time()
                 if win_t0 is not None and i > win_i0:
                     profiler.GLOBAL_TIMINGS.note_window(
-                        "sds_step", i - win_i0, now - win_t0)
-                win_t0, win_i0 = now, i
+                        "sds_step", i - win_i0, time.time() - win_t0)
                 fisher_f = float(fisher)
                 ikl_running_avg = (fisher_f if ikl_running_avg is None
                                    else 0.99 * ikl_running_avg
@@ -1011,15 +1031,23 @@ class ConTEXTure:
                          "elapsed_s": time.time() - t0}
                 if i % 250 == 0 or i == iterations - 1:
                     # cross-view color consistency (reference computes it with
-                    # weight 0 at trainer.py:856-863; logged here as a metric)
-                    entry["view_consistency"] = float(
-                        self._view_consistency_metric(params))
+                    # weight 0 at trainer.py:429-531/856-863; logged as a
+                    # metric). Its own phase: the first call compiles a
+                    # 7-view render (~10 s) and must not be silently folded
+                    # into the loop's window rate.
+                    with profiler.phase("view_consistency_metric"):
+                        entry["view_consistency"] = float(
+                            self._view_consistency_metric(params))
                 metrics_log.append(entry)
                 logger.info(f"iter {i}: sds_loss={loss_f:.4f} "
                             f"t={int(t_schedule_np[i])} "
                             f"grad_norm={float(grad_norm):.4g}")
                 if self._wandb is not None:
                     self._wandb.log(metrics_log[-1])
+                # restart the window AFTER the sync-point metric work so
+                # window_iter_ms reflects loop iterations, not the
+                # once-per-250-iters metric (or its first-call compile)
+                win_t0, win_i0 = time.time(), i
             if self.cfg.log.log_images and \
                     ((i % 10 == 0 and i < 1000) or i % 100 == 0):
                 # reference image cadence (trainer.py:902-904)
@@ -1044,6 +1072,7 @@ class ConTEXTure:
         self._median_eval = True  # change_default_to_median (trainer.py:909)
         logger.info("Finished SDS Painting ^_^")
         self.full_eval()
+        self._img_writer.flush()  # surface any failed/pending log writes
         profiler.GLOBAL_TIMINGS.dump(self.exp_path / "timings.json")
 
     def _view_consistency_metric(self, params) -> jnp.ndarray:
@@ -1266,6 +1295,7 @@ class ConTEXTure:
 
     def full_eval(self, output_dir: Optional[Path] = None):
         output_dir = output_dir or self.final_renders_path
+        self._img_writer.flush()  # train-loop log writes land before eval's
         with profiler.phase("eval"):
             self.evaluate(self.dataloaders["val_large"], output_dir,
                           save_as_video=True)
@@ -1313,55 +1343,79 @@ class ConTEXTure:
 
     # -- logging --------------------------------------------------------------------
 
+    @staticmethod
+    def _quantize_chw(tensor):
+        """Device-side half of image logging: clip + scale to uint8 BEFORE
+        the device->host copy (4x less tunnel traffic than f32; the NaN
+        guard must therefore run here — uint8 can't carry NaN/Inf)."""
+        t = jnp.asarray(tensor).astype(jnp.float32)
+        bad = jnp.logical_not(jnp.all(jnp.isfinite(t)))
+        q = (jnp.clip(t, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        return q, bad.astype(jnp.uint8)
+
+    @staticmethod
+    def _write_chw_image(path):
+        """Writer-thread half of image logging: materialize, guard, encode,
+        save. Runs off the loop thread via core/imagewriter.py. Receives the
+        (uint8 CHW image, nan-flag) pair from _quantize_chw."""
+        from PIL import Image
+
+        def write(packed):
+            arr, bad = packed
+            if int(bad):
+                raise ValueError(
+                    f"Tensor contains NaNs or infinite values ({path})")
+            arr = np.asarray(arr).transpose(1, 2, 0)
+            if arr.shape[-1] == 4:
+                arr = arr[..., :3]
+            Image.fromarray(arr).save(path)
+
+        return write
+
     def log_train_image(self, tensor, name: str, file_type: str = "jpg",
                         colormap: bool = False):
         """(reference log_train_image, trainer.py:1162-1177; colormap routes
-        a (H,W) scalar map through the seismic colormap)"""
+        a (H,W) scalar map through the seismic colormap). The device clip is
+        dispatched here; fetch/encode/IO run on the writer thread."""
         if not self.cfg.log.log_images:
             return
-        from PIL import Image
-
+        path = self.train_renders_path / f"debug_{name}.{file_type}"
         if colormap:
             from contexture_nerf_tpu.ops.image import save_colormap
 
-            save_colormap(np.asarray(tensor),
-                          self.train_renders_path
-                          / f"debug_{name}.{file_type}")
+            self._img_writer.submit(tensor,
+                                    lambda arr: save_colormap(arr, path))
             return
-        arr = np.asarray(jnp.clip(tensor, 0, 1)[0]).transpose(1, 2, 0)
-        if np.any(np.isnan(arr)) or np.any(np.isinf(arr)):
-            raise ValueError("Tensor contains NaNs or infinite values")
-        if arr.shape[-1] == 4:
-            arr = arr[..., :3]
-        Image.fromarray((arr * 255).astype(np.uint8)).save(
-            self.train_renders_path / f"debug_{name}.{file_type}")
+        if not hasattr(self, "_quant_jit"):
+            self._quant_jit = jax.jit(self._quantize_chw)
+        self._img_writer.submit(self._quant_jit(jnp.asarray(tensor)[0]),
+                                self._write_chw_image(path))
 
     def log_diffusion_steps(self, intermediate_vis):
         """Save intermediate denoise frames to a per-paint-step folder
         (reference log_diffusion_steps, trainer.py:1179-1185)."""
         if not intermediate_vis:
             return
-        from PIL import Image
-
         folder = (self.train_renders_path
                   / f"{self.paint_step:04d}_diffusion_steps")
         folder.mkdir(exist_ok=True, parents=True)
+        if not hasattr(self, "_quant_jit"):
+            self._quant_jit = jax.jit(self._quantize_chw)
         for k, frame in enumerate(intermediate_vis):
-            arr = np.asarray(jnp.clip(frame, 0, 1)[0]).transpose(1, 2, 0)
-            Image.fromarray((arr * 255).astype(np.uint8)).save(
-                folder / f"{k:02d}_diffusion_step.jpg")
+            self._img_writer.submit(
+                self._quant_jit(jnp.asarray(frame)[0]),
+                self._write_chw_image(folder / f"{k:02d}_diffusion_step.jpg"))
 
     def log_texture_map(self, params, iteration: int):
-        from PIL import Image
-
         # jitted: the eager 1M-point lattice query materializes every MLP
         # activation in HBM (~1 GB each at res=1024), and this runs at the
-        # reference's 10/100-iter cadence
+        # reference's 10/100-iter cadence; the uint8 quantization rides the
+        # same graph so only 1 byte/px crosses the tunnel
         if not hasattr(self, "_texmap_jit"):
             model = self.mesh_model
             self._texmap_jit = jax.jit(
-                lambda p: jnp.clip(model.get_texture_map(p)[0], 0, 1))
-        tex = self._texmap_jit(params)
-        arr = np.asarray(tex[0]).transpose(1, 2, 0)
-        Image.fromarray((arr * 255).astype(np.uint8)).save(
-            self.train_renders_path / f"texture_map_iter_{iteration:06d}.png")
+                lambda p: self._quantize_chw(model.get_texture_map(p)[0][0]))
+        self._img_writer.submit(
+            self._texmap_jit(params), self._write_chw_image(
+                self.train_renders_path
+                / f"texture_map_iter_{iteration:06d}.png"))
