@@ -994,11 +994,11 @@ class ConTEXTure:
             if not hasattr(self, "_texmap_jit"):
                 model = self.mesh_model
                 self._texmap_jit = jax.jit(
-                    lambda p: self._quantize_chw(
+                    lambda p: self._quantize_u8(
                         model.get_texture_map(p)[0][0]))
             jax.block_until_ready(self._texmap_jit(params))
             if not hasattr(self, "_quant_jit"):
-                self._quant_jit = jax.jit(self._quantize_chw)
+                self._quant_jit = jax.jit(self._quantize_u8)
             grid_hw = (3 * self.tile_px, 2 * self.tile_px)
             jax.block_until_ready(
                 self._quant_jit(jnp.zeros((3,) + grid_hw, jnp.float32)))
@@ -1259,24 +1259,39 @@ class ConTEXTure:
             phis = np.concatenate([phis, np.repeat(phis[-1:], pad)])
             radii = np.concatenate([radii, np.repeat(radii[-1:], pad)])
 
+        # two-phase: dispatch EVERY chunk (device-side uint8 quantization,
+        # async device->host copies) before materializing any — the frame
+        # fetch (dim^2 x 3 bytes instead of x12 f32) overlaps the next
+        # chunk's render instead of stalling it
+        if not hasattr(self, "_quant_jit"):
+            self._quant_jit = jax.jit(self._quantize_u8)
+        pending = []
         for start in range(0, n + pad, chunk):
             sl = slice(start, start + chunk)
             preds, textures, depths, normals = eval_fn(
                 self.texture_params, jnp.asarray(thetas[sl]),
                 jnp.asarray(phis[sl]), jnp.asarray(radii[sl]))
             texture = textures
-            for j in range(min(chunk, n - start)):
-                i = start + j
-                pred = tensor2numpy(preds[j])
-                if save_as_video:
-                    all_preds.append(pred)
-                else:
-                    from PIL import Image
-
-                    Image.fromarray(pred).save(
-                        save_path / f"eval_rendered_{i:04d}_rgb.jpg")
+            pq, bad = self._quant_jit(preds)
+            for a in (pq, bad):
+                if hasattr(a, "copy_to_host_async"):
+                    a.copy_to_host_async()
+            pending.append((start, pq, bad))
         from PIL import Image
 
+        for start, pq, bad in pending:
+            if int(np.asarray(bad)):
+                raise ValueError(
+                    "Tensor contains NaNs or infinite values "
+                    f"(eval frames {start}..{start + chunk - 1})")
+            arr = np.asarray(pq)
+            for j in range(min(chunk, n - start)):
+                i = start + j
+                if save_as_video:
+                    all_preds.append(arr[j])
+                else:
+                    Image.fromarray(arr[j]).save(
+                        save_path / f"eval_rendered_{i:04d}_rgb.jpg")
         Image.fromarray(tensor2numpy(texture[0])).save(
             save_path / "eval_texture_atlas.png")
         if save_as_video and all_preds:
@@ -1344,7 +1359,7 @@ class ConTEXTure:
     # -- logging --------------------------------------------------------------------
 
     @staticmethod
-    def _quantize_chw(tensor):
+    def _quantize_u8(tensor):
         """Device-side half of image logging: clip + scale to uint8 BEFORE
         the device->host copy (4x less tunnel traffic than f32; the NaN
         guard must therefore run here — uint8 can't carry NaN/Inf)."""
@@ -1357,7 +1372,7 @@ class ConTEXTure:
     def _write_chw_image(path):
         """Writer-thread half of image logging: materialize, guard, encode,
         save. Runs off the loop thread via core/imagewriter.py. Receives the
-        (uint8 CHW image, nan-flag) pair from _quantize_chw."""
+        (uint8 CHW image, nan-flag) pair from _quantize_u8."""
         from PIL import Image
 
         def write(packed):
@@ -1387,7 +1402,7 @@ class ConTEXTure:
                                     lambda arr: save_colormap(arr, path))
             return
         if not hasattr(self, "_quant_jit"):
-            self._quant_jit = jax.jit(self._quantize_chw)
+            self._quant_jit = jax.jit(self._quantize_u8)
         self._img_writer.submit(self._quant_jit(jnp.asarray(tensor)[0]),
                                 self._write_chw_image(path))
 
@@ -1400,7 +1415,7 @@ class ConTEXTure:
                   / f"{self.paint_step:04d}_diffusion_steps")
         folder.mkdir(exist_ok=True, parents=True)
         if not hasattr(self, "_quant_jit"):
-            self._quant_jit = jax.jit(self._quantize_chw)
+            self._quant_jit = jax.jit(self._quantize_u8)
         for k, frame in enumerate(intermediate_vis):
             self._img_writer.submit(
                 self._quant_jit(jnp.asarray(frame)[0]),
@@ -1414,7 +1429,7 @@ class ConTEXTure:
         if not hasattr(self, "_texmap_jit"):
             model = self.mesh_model
             self._texmap_jit = jax.jit(
-                lambda p: self._quantize_chw(model.get_texture_map(p)[0][0]))
+                lambda p: self._quantize_u8(model.get_texture_map(p)[0][0]))
         self._img_writer.submit(
             self._texmap_jit(params), self._write_chw_image(
                 self.train_renders_path
