@@ -12,6 +12,8 @@ distinguishable from tunnel noise (VERDICT r2 weak #1).
   - full_sds_iter_ms (+ _iqr): ONE production SDS iteration (student MLP
     render of the 960x640 grid + VAE encode fwd/bwd + teacher + adam) via the
     actual ConTEXTure._build_sds_step graph on a procedural sphere;
+    full_sds_iter_local_grad_ms / full_sds_iter_emb_ms are the same step with
+    the opt-in optim.local_sds_grad / optim.precompute_uv_embedding knobs;
   - teacher_mfu_pct: XLA-counted FLOPs / wall-clock vs the chip's bf16 peak;
   - e2e_slice: bootstrap + 25 SDS iters + 5-pose eval through trainer.paint()
     as ONE wall-clock measurement (the measured proxy for the BASELINE
@@ -174,6 +176,36 @@ def bench_trainer(tiny):
     finally:
         trainer.cfg.optim.local_sds_grad = False
 
+    # (a3) precomputed bf16 Fourier embedding (optim.precompute_uv_embedding):
+    # same gradients (the kernel casts the embedding to its compute dtype at
+    # every MXU use, so bf16 pre-rounding is bit-identical under the bf16
+    # default — tests/test_mlp_kernel.py), skips the ~25M sin/cos per iter
+    # in fwd AND bwd. ~157 MB extra HBM; None when the kernel is ineligible
+    # (non-TPU backend or a non-8x256 MLP).
+    emb_ms = None
+    try:
+        trainer.cfg.optim.precompute_uv_embedding = True
+        setup_e = trainer.prepare_sds(skip_bootstrap=True)
+        if setup_e["emb_pts"] is not None:
+            step_e, opt_e, hot_e = trainer._build_sds_step(setup_e, None)
+            opt_state_e = opt_e.init(params)
+            jax.block_until_ready(step_e(params, opt_state_e, t, key, hot_e))
+            st_e = {"p": params, "o": opt_state_e}
+
+            def one_emb():
+                st_e["p"], st_e["o"], loss, gn, fi, grid = step_e(
+                    st_e["p"], st_e["o"], t, key, hot_e)
+                return loss
+
+            samples_e = _timed_windows(one_emb, jax.block_until_ready,
+                                       n_iters, reps)
+            emb_ms, _ = _median_iqr_ms(samples_e)
+            del setup_e, step_e, hot_e, opt_state_e, st_e  # free the HBM
+    except Exception as e:
+        emb_ms = f"error: {type(e).__name__}: {str(e)[:200]}"
+    finally:
+        trainer.cfg.optim.precompute_uv_embedding = False
+
     # (b) e2e slice: full paint() = bootstrap -> SDS loop -> eval -> video.
     # Phases come from the profiler with compile separated from steady state.
     profiler.GLOBAL_TIMINGS = profiler.Timings()
@@ -185,7 +217,7 @@ def bench_trainer(tiny):
            "sds_iters": cfg.optim.sds_iterations,
            "eval_poses": cfg.log.full_eval_size,
            "phases": phases}
-    return (iter_ms, iter_iqr, local_ms), e2e
+    return (iter_ms, iter_iqr, local_ms, emb_ms), e2e
 
 
 def bench_sd2_denoise(tiny):
@@ -318,11 +350,13 @@ def main():
         extra["teacher_int8_full_steps_per_sec"] = \
             f"error: {type(e).__name__}: {str(e)[:200]}"
     try:
-        (iter_ms, iter_iqr, local_ms), e2e = bench_trainer(tiny)
+        (iter_ms, iter_iqr, local_ms, emb_ms), e2e = bench_trainer(tiny)
         extra["full_sds_iter_ms"] = round(iter_ms, 1)
         extra["full_sds_iter_iqr_ms"] = round(iter_iqr, 2)
         extra["full_sds_iter_local_grad_ms"] = (
             round(local_ms, 1) if isinstance(local_ms, float) else local_ms)
+        extra["full_sds_iter_emb_ms"] = (
+            round(emb_ms, 1) if isinstance(emb_ms, float) else emb_ms)
         extra["e2e_slice"] = e2e
     except Exception as e:  # never lose the primary metric
         extra["full_sds_iter_ms"] = f"error: {type(e).__name__}: {str(e)[:200]}"

@@ -478,10 +478,13 @@ class ConTEXTure:
             setup["mask_grid"] = mask_grid
             if self.cfg.optim.precompute_uv_embedding:
                 # opt-in: precomputed Fourier embedding of the static UVs +
-                # the fused_nerf2d_emb kernel saves ~18 ms/iter, but the
-                # ~314 MB residency can tip the axon tunnel into
-                # RESOURCE_EXHAUSTED next to the full towers at 1200^2
-                # (docs/PERF.md headroom) — hence the config gate.
+                # the fused_nerf2d_emb kernel — measured 243.6 vs 284.7
+                # ms/iter (-14%) through this production step (docs/PERF.md).
+                # Stored in the kernel's compute dtype (bit-identical — the
+                # kernel casts it there at every MXU use): bf16 halves the
+                # residency to ~157 MB, which previously tipped the axon
+                # tunnel into RESOURCE_EXHAUSTED next to the full towers at
+                # 1200^2 as ~314 MB f32.
                 mlp = self.mesh_model.texture_mlp
                 eligible = (mlp.D == 8 and mlp.W == 256
                             and tuple(mlp.skips) == (4,)
@@ -492,7 +495,8 @@ class ConTEXTure:
                         pad_embedding)
 
                     setup["emb_pts"] = pad_embedding(
-                        uv_pts, multires=self.mesh_model.multires)
+                        uv_pts, multires=self.mesh_model.multires,
+                        dtype=self.zero123plus.dtype)
                 else:
                     logger.warning(
                         "optim.precompute_uv_embedding ignored: fused kernel "

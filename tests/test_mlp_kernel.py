@@ -95,3 +95,34 @@ def test_fused_emb_variant_matches_uv_variant():
         jnp.tanh(fused_nerf2d_emb(p, emb, 10, True)) ** 2))(params)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_emb)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+def test_bf16_embedding_storage_bit_identical_under_bf16_compute():
+    """pad_embedding(dtype=bf16) + bf16 compute is BIT-identical to f32
+    storage + bf16 compute (the kernel casts the embedding to compute_dtype
+    at every MXU use, so pre-rounding to bf16 loses nothing) — this is the
+    lossless half-HBM mode the trainer uses for optim.precompute_uv_embedding
+    with the full-size bf16 stacks."""
+    from contexture_nerf_tpu.ops.mlp_kernel import (fused_nerf2d_emb,
+                                                    pad_embedding)
+
+    mlp = NeRF2D(input_ch=embedder_out_dim(10))
+    params = jax.jit(mlp.init)(jax.random.PRNGKey(0), jnp.zeros((1, 42)))
+    uv = jax.random.uniform(jax.random.PRNGKey(3), (300, 2))
+    emb32 = pad_embedding(uv, 10)
+    emb16 = pad_embedding(uv, 10, dtype=jnp.bfloat16)
+    assert emb16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(emb32.astype(jnp.bfloat16), dtype=np.float32),
+        np.asarray(emb16, dtype=np.float32))
+
+    out32 = fused_nerf2d_emb(params, emb32, 10, True, jnp.bfloat16)
+    out16 = fused_nerf2d_emb(params, emb16, 10, True, jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(out32), np.asarray(out16))
+
+    g32 = jax.grad(lambda p: jnp.sum(jnp.tanh(
+        fused_nerf2d_emb(p, emb32, 10, True, jnp.bfloat16)) ** 2))(params)
+    g16 = jax.grad(lambda p: jnp.sum(jnp.tanh(
+        fused_nerf2d_emb(p, emb16, 10, True, jnp.bfloat16)) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g32), jax.tree.leaves(g16)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

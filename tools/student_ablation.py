@@ -20,8 +20,12 @@ Prints one JSON line.
 import argparse
 import json
 import os
+import sys
 import tempfile
 from pathlib import Path
+
+# runnable as `python tools/student_ablation.py` from the repo root
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 os.environ.setdefault("JAX_PLATFORMS", "axon,tpu,cpu")
 
@@ -32,7 +36,7 @@ def timeit(fn, ready, n=10, reps=3):
     return median_iqr_ms(timed_windows(fn, ready, n, reps))[0]
 
 
-def build_trainer():
+def build_trainer(optim_overrides=None):
     import jax
 
     cache_dir = os.environ.get("CTN_JAX_CACHE",
@@ -47,6 +51,9 @@ def build_trainer():
     tmp = Path(tempfile.mkdtemp(prefix="ctn_ablate_"))
     sphere = tmp / "sphere.obj"
     write_obj(sphere, *uv_sphere(24, 48))
+    optim = {"seed": 0, "sds_iterations": 1,
+             "checkpoint_interval": 10 ** 9, "data_parallel": "off"}
+    optim.update(optim_overrides or {})
     cfg = config_from_dict({
         "log": {"exp_name": "ablate", "exp_root": str(tmp / "exp"),
                 "log_images": False, "save_mesh": False,
@@ -54,15 +61,15 @@ def build_trainer():
         "render": {"train_grid_size": 1200},
         "guide": {"text": "ablate", "shape_path": str(sphere),
                   "texture_resolution": 1024},
-        "optim": {"seed": 0, "sds_iterations": 1,
-                  "checkpoint_interval": 10 ** 9, "data_parallel": "off"},
+        "optim": optim,
     })
     return ConTEXTure(cfg, tiny_models=False)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="all", choices=["all", "parts", "full"])
+    ap.add_argument("--mode", default="all",
+                    choices=["all", "parts", "full", "emb"])
     args = ap.parse_args()
 
     import jax
@@ -71,7 +78,14 @@ def main():
     from contexture_nerf_tpu.diffusion.vae import sample_gaussian
     from contexture_nerf_tpu.training.trainer import scale_image, scale_latents
 
-    trainer = build_trainer()
+    # --mode emb: the production step with optim.precompute_uv_embedding —
+    # the ~157 MB bf16-stored Fourier embedding + fused_nerf2d_emb kernel
+    # (r2 measured the f32 variant at ~314 MB tipping the tunnel into
+    # RESOURCE_EXHAUSTED; this mode is the real-chip check that bf16
+    # storage fits and measures the per-iter saving vs full_step_ms).
+    overrides = ({"precompute_uv_embedding": True}
+                 if args.mode == "emb" else None)
+    trainer = build_trainer(overrides)
     setup = trainer.prepare_sds(skip_bootstrap=True)
     params = trainer.texture_params
     zp = trainer.zero123plus
@@ -132,7 +146,7 @@ def main():
         res["student_vae_grad_ms"] = timeit(lambda: g_chain(params),
                                             jax.block_until_ready)
 
-    if args.mode in ("all", "full"):
+    if args.mode in ("all", "full", "emb"):
         import optax
 
         step, optimizer, hot = trainer._build_sds_step(setup, None)
@@ -140,7 +154,11 @@ def main():
         t = jnp.asarray([500], jnp.int32)
         out = step(params, opt_state, t, key, hot)
         jax.block_until_ready(out[2])
-        res["full_step_ms"] = timeit(
+        name = "full_step_emb_ms" if args.mode == "emb" else "full_step_ms"
+        if args.mode == "emb":
+            assert hot["emb_pts"] is not None, \
+                "precompute_uv_embedding did not engage (kernel ineligible?)"
+        res[name] = timeit(
             lambda: step(params, opt_state, t, key, hot),
             lambda o: jax.block_until_ready(o[2]))
 

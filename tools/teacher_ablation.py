@@ -15,8 +15,26 @@ import argparse
 import functools
 import json
 import os
+import sys
+
+# runnable as `python tools/teacher_ablation.py` from the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_PLATFORMS", "axon,tpu,cpu")
+
+
+def _enable_compile_cache():
+    # same persistent cache as bench.py/the CLI — each ablation variant
+    # compiles the full towers once; cold, that is ~5-10 min of XLA work
+    import jax
+
+    cache_dir = os.environ.get("CTN_JAX_CACHE",
+                               os.path.expanduser("~/.cache/ctnerf_jax"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+_enable_compile_cache()
 
 # same median-of-repeated-windows method as bench.py (shared helper so the
 # ablation numbers stay methodologically comparable to the bench's), and
