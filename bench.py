@@ -206,6 +206,35 @@ def bench_trainer(tiny):
     finally:
         trainer.cfg.optim.precompute_uv_embedding = False
 
+    # (a4) both knobs: precomputed embedding feeds the full-canvas forward
+    # AND the tile-local differentiable patch (docs/PERF.md: 173.7 vs 284.7
+    # ms on chip, -39%)
+    both_ms = None
+    try:
+        trainer.cfg.optim.precompute_uv_embedding = True
+        trainer.cfg.optim.local_sds_grad = True
+        setup_b = trainer.prepare_sds(skip_bootstrap=True)
+        if setup_b["emb_pts"] is not None:
+            step_b, opt_b, hot_b = trainer._build_sds_step(setup_b, None)
+            opt_state_b = opt_b.init(params)
+            jax.block_until_ready(step_b(params, opt_state_b, t, key, hot_b))
+            st_b = {"p": params, "o": opt_state_b}
+
+            def one_both():
+                st_b["p"], st_b["o"], loss, gn, fi, grid = step_b(
+                    st_b["p"], st_b["o"], t, key, hot_b)
+                return loss
+
+            samples_b = _timed_windows(one_both, jax.block_until_ready,
+                                       n_iters, reps)
+            both_ms, _ = _median_iqr_ms(samples_b)
+            del setup_b, step_b, hot_b, opt_state_b, st_b
+    except Exception as e:
+        both_ms = f"error: {type(e).__name__}: {str(e)[:200]}"
+    finally:
+        trainer.cfg.optim.precompute_uv_embedding = False
+        trainer.cfg.optim.local_sds_grad = False
+
     # (b) e2e slice: full paint() = bootstrap -> SDS loop -> eval -> video.
     # Phases come from the profiler with compile separated from steady state.
     profiler.GLOBAL_TIMINGS = profiler.Timings()
@@ -217,7 +246,7 @@ def bench_trainer(tiny):
            "sds_iters": cfg.optim.sds_iterations,
            "eval_poses": cfg.log.full_eval_size,
            "phases": phases}
-    return (iter_ms, iter_iqr, local_ms, emb_ms), e2e
+    return (iter_ms, iter_iqr, local_ms, emb_ms, both_ms), e2e
 
 
 def bench_sd2_denoise(tiny):
@@ -350,13 +379,16 @@ def main():
         extra["teacher_int8_full_steps_per_sec"] = \
             f"error: {type(e).__name__}: {str(e)[:200]}"
     try:
-        (iter_ms, iter_iqr, local_ms, emb_ms), e2e = bench_trainer(tiny)
+        (iter_ms, iter_iqr, local_ms, emb_ms, both_ms), e2e = \
+            bench_trainer(tiny)
         extra["full_sds_iter_ms"] = round(iter_ms, 1)
         extra["full_sds_iter_iqr_ms"] = round(iter_iqr, 2)
         extra["full_sds_iter_local_grad_ms"] = (
             round(local_ms, 1) if isinstance(local_ms, float) else local_ms)
         extra["full_sds_iter_emb_ms"] = (
             round(emb_ms, 1) if isinstance(emb_ms, float) else emb_ms)
+        extra["full_sds_iter_emb_local_ms"] = (
+            round(both_ms, 1) if isinstance(both_ms, float) else both_ms)
         extra["e2e_slice"] = e2e
     except Exception as e:  # never lose the primary metric
         extra["full_sds_iter_ms"] = f"error: {type(e).__name__}: {str(e)[:200]}"

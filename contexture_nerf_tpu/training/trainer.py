@@ -752,15 +752,35 @@ class ConTEXTure:
             oy = (oy // vae_down) * vae_down  # keep latent-aligned
             ox = (ox // vae_down) * vae_down
 
-            # differentiable patch: query only the slice's UV points
-            # (precompute_uv_embedding's kernel is bypassed here — the two
-            # optimizations are alternatives, and the patch is 1/3 canvas)
-            pts_hw = hot["uv_grid_pts"].reshape(grid_hw[0], grid_hw[1], 2)
-            pts_sl = jax.lax.dynamic_slice(pts_hw, (oy, ox, 0),
-                                           (sl_h, sl_w, 2))
-            rgb_sl = mesh_model.query_texture_at_uv(
-                params, pts_sl.reshape(-1, 2), allow_fused=(mesh is None),
-                compute_dtype=zero123plus.dtype)
+            # differentiable patch: query only the slice's UV points. The
+            # two opt-in knobs COMPOSE: the full-canvas forward above
+            # already went through the precomputed-embedding kernel when
+            # optim.precompute_uv_embedding is on, and here the patch
+            # slices its rows out of the same precomputed embedding
+            # (skipping the patch's sin/cos in fwd AND bwd too).
+            if hot["emb_pts"] is not None:
+                from contexture_nerf_tpu.ops.mlp_kernel import (
+                    fused_nerf2d_emb)
+
+                emb_hw = hot["emb_pts"].reshape(
+                    grid_hw[0], grid_hw[1], hot["emb_pts"].shape[-1])
+                emb_sl = jax.lax.dynamic_slice(
+                    emb_hw, (oy, ox, 0),
+                    (sl_h, sl_w, emb_hw.shape[-1]))
+                out_sl = fused_nerf2d_emb(
+                    params, emb_sl.reshape(sl_h * sl_w, -1),
+                    mesh_model.multires, _FUSED_EMB_INTERPRET,
+                    zero123plus.dtype)
+                rgb_sl = (jnp.tanh(out_sl) + 1.0) / 2.0
+            else:
+                pts_hw = hot["uv_grid_pts"].reshape(
+                    grid_hw[0], grid_hw[1], 2)
+                pts_sl = jax.lax.dynamic_slice(pts_hw, (oy, ox, 0),
+                                               (sl_h, sl_w, 2))
+                rgb_sl = mesh_model.query_texture_at_uv(
+                    params, pts_sl.reshape(-1, 2),
+                    allow_fused=(mesh is None),
+                    compute_dtype=zero123plus.dtype)
             if hot["edit_mask_pts"] is not None:
                 m_hw = hot["edit_mask_pts"].reshape(
                     grid_hw[0], grid_hw[1], 1)

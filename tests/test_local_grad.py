@@ -87,6 +87,33 @@ def test_small_margin_identical_forward_finite_grads(tmp_path):
                for p in jax.tree.leaves(p_l))
 
 
+def test_local_grad_composes_with_precomputed_embedding(tmp_path,
+                                                        monkeypatch):
+    """local_sds_grad + precompute_uv_embedding: the full-canvas forward
+    goes through the precomputed-embedding kernel AND the differentiable
+    patch slices its rows out of the same embedding — the loss must match
+    the plain local path (same forward graph value) and the step must stay
+    finite. Interpret mode stands in for the TPU kernel."""
+    import contexture_nerf_tpu.training.trainer as trainer_mod
+
+    tr_l = make_trainer(tmp_path, local_sds_grad=True,
+                        local_sds_margin_px=4)
+    (_, _, loss_l, gn_l, _, _), _ = run_step(tr_l)
+
+    monkeypatch.setattr(trainer_mod, "_FUSED_EMB_INTERPRET", True)
+    tr_e = make_trainer(tmp_path, local_sds_grad=True,
+                        local_sds_margin_px=4,
+                        precompute_uv_embedding=True)
+    setup_e = tr_e.prepare_sds(skip_bootstrap=True)
+    assert setup_e["emb_pts"] is not None
+    (p_e, _, loss_e, gn_e, _, _), _ = run_step(tr_e, setup_e)
+
+    np.testing.assert_allclose(float(loss_e), float(loss_l), rtol=2e-2)
+    assert np.isfinite(float(gn_e)) and float(gn_e) > 0.0
+    assert all(np.isfinite(np.asarray(p)).all()
+               for p in jax.tree.leaves(p_e))
+
+
 def test_local_grad_composes_with_data_parallel(tmp_path):
     """local_sds_grad under the 8-device views mesh: the dynamic-sliced
     backward path must produce the same step as the unsharded local path

@@ -140,6 +140,45 @@ def test_precompute_uv_embedding_consumed(sphere_obj, tmp_path, monkeypatch):
     np.testing.assert_allclose(loss_emb, loss_uv, rtol=2e-2)
 
 
+def test_precompute_uv_embedding_composes_with_mesh(sphere_obj, tmp_path,
+                                                    monkeypatch):
+    """optim.precompute_uv_embedding + optim.data_parallel: the fused
+    emb kernel is opaque to GSPMD (XLA replicates its operands), so the
+    sharded step must still match the single-device step bit-for-bit on
+    the loss — the composition a pod user would actually run."""
+    import optax
+
+    cfg = _tiny_cfg(sphere_obj, tmp_path, "embmesh",
+                    precompute_uv_embedding=True, data_parallel="on")
+    tr = ConTEXTure(cfg, tiny_models=True, backend="xla")
+    monkeypatch.setattr(trainer_mod, "_FUSED_EMB_INTERPRET", True)
+
+    def one_loss(mesh):
+        setup = tr.prepare_sds(skip_bootstrap=True)
+        assert setup["emb_pts"] is not None
+        step, optimizer, hot = tr._build_sds_step(setup, mesh)
+        params = tr.texture_params
+        opt_state = optimizer.init(params)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            params = jax.device_put(params, rep)
+            opt_state = jax.device_put(opt_state, rep)
+        out = step(params, opt_state, jnp.asarray([500], jnp.int32),
+                   jax.random.PRNGKey(2), hot)
+        return float(out[2])
+
+    mesh = tr._make_mesh()
+    assert mesh is not None and mesh.shape["views"] == 8
+    loss_sharded = one_loss(mesh)
+    loss_single = one_loss(None)
+    # GSPMD repartitions the kernel's bf16-compute chain, so reduction
+    # order shifts; observed drift ~0.25% (same order as the 2e-2 the
+    # emb-vs-uv equivalence test above allows)
+    np.testing.assert_allclose(loss_sharded, loss_single, rtol=1e-2)
+
+
 # ---------------------------------------------------------------------------
 # incremental metrics persistence (ADVICE 2)
 # ---------------------------------------------------------------------------

@@ -69,7 +69,7 @@ def build_trainer(optim_overrides=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="all",
-                    choices=["all", "parts", "full", "emb"])
+                    choices=["all", "parts", "full", "emb", "emb_local"])
     args = ap.parse_args()
 
     import jax
@@ -83,8 +83,15 @@ def main():
     # (r2 measured the f32 variant at ~314 MB tipping the tunnel into
     # RESOURCE_EXHAUSTED; this mode is the real-chip check that bf16
     # storage fits and measures the per-iter saving vs full_step_ms).
-    overrides = ({"precompute_uv_embedding": True}
-                 if args.mode == "emb" else None)
+    # --mode emb_local: both opt-in knobs together — the full-canvas
+    # forward AND the differentiable patch go through the precomputed
+    # embedding while the backward stays tile-local.
+    overrides = None
+    if args.mode == "emb":
+        overrides = {"precompute_uv_embedding": True}
+    elif args.mode == "emb_local":
+        overrides = {"precompute_uv_embedding": True,
+                     "local_sds_grad": True}
     trainer = build_trainer(overrides)
     setup = trainer.prepare_sds(skip_bootstrap=True)
     params = trainer.texture_params
@@ -146,7 +153,7 @@ def main():
         res["student_vae_grad_ms"] = timeit(lambda: g_chain(params),
                                             jax.block_until_ready)
 
-    if args.mode in ("all", "full", "emb"):
+    if args.mode in ("all", "full", "emb", "emb_local"):
         import optax
 
         step, optimizer, hot = trainer._build_sds_step(setup, None)
@@ -154,8 +161,10 @@ def main():
         t = jnp.asarray([500], jnp.int32)
         out = step(params, opt_state, t, key, hot)
         jax.block_until_ready(out[2])
-        name = "full_step_emb_ms" if args.mode == "emb" else "full_step_ms"
-        if args.mode == "emb":
+        name = {"emb": "full_step_emb_ms",
+                "emb_local": "full_step_emb_local_ms"}.get(
+                    args.mode, "full_step_ms")
+        if args.mode in ("emb", "emb_local"):
             assert hot["emb_pts"] is not None, \
                 "precompute_uv_embedding did not engage (kernel ineligible?)"
         res[name] = timeit(
