@@ -1,4 +1,11 @@
-"""Round benchmark, single chip. Prints exactly ONE JSON line.
+"""Round benchmark, single chip. Prints the result JSON line TWICE: once the
+moment the primary metric exists (unlosable even if the driver's timeout
+kills the extras), and once enriched at the end — the driver parses the last
+JSON line in stdout. A global wall-clock budget (CTN_BENCH_DEADLINE_S,
+default 2100 s) gates every extra; expired extras are recorded as
+"skipped: bench deadline" instead of running past the deadline (VERDICT r3
+#1: round 3 shipped rc=124/parsed:null). The measured-negative int8 variants
+run only under BENCH_INT8=1.
 
 Primary metric (tracked across rounds, BASELINE.md headline unit): Zero123++
 teacher denoise steps/sec — one SDS teacher evaluation = reference-write UNet
@@ -38,6 +45,20 @@ os.environ.setdefault("JAX_PLATFORMS", "axon,tpu,cpu")
 
 from contexture_nerf_tpu.core.timing import (median_iqr_ms as _median_iqr_ms,
                                              timed_windows as _timed_windows)
+
+# Global wall-clock budget (VERDICT r3 #1: BENCH_r03.json died rc=124 with
+# parsed:null after ~27 min of full-tower compiles — a bench that can miss
+# its deadline silently is a broken bench). Every optional extra checks
+# budget_left_s() first; on expiry it is recorded as "skipped: ..." and the
+# already-measured numbers still ship. The primary metric is additionally
+# printed (flushed) the moment it exists, so even a hard kill mid-extras
+# leaves a parseable JSON line in the driver's stdout tail.
+_T0 = time.monotonic()
+
+
+def budget_left_s():
+    deadline = float(os.environ.get("CTN_BENCH_DEADLINE_S", "2100"))
+    return deadline - (time.monotonic() - _T0)
 
 
 def _enable_compile_cache():
@@ -153,90 +174,58 @@ def bench_trainer(tiny):
     samples = _timed_windows(one, jax.block_until_ready, n_iters, reps)
     iter_ms, iter_iqr = _median_iqr_ms(samples)
 
-    # (a2) tile-local backward (optim.local_sds_grad): identical forward,
-    # gradient restricted to a margin-padded slice around the sampled tile
-    local_ms = None
-    try:
-        trainer.cfg.optim.local_sds_grad = True
-        step_l, opt_l, hot_l = trainer._build_sds_step(setup, None)
-        opt_state_l = opt_l.init(params)
-        jax.block_until_ready(step_l(params, opt_state_l, t, key, hot_l))
-        st = {"p": params, "o": opt_state_l}
+    # Opt-in-knob variants of the same step, each budget-gated (a full-size
+    # compile through the tunnel costs minutes; on deadline expiry the
+    # remaining variants are recorded as skipped, not lost):
+    #   local  — optim.local_sds_grad: identical forward, gradient restricted
+    #            to a margin-padded slice around the sampled tile;
+    #   emb    — optim.precompute_uv_embedding: precomputed bf16 Fourier
+    #            embedding (bit-identical under the bf16 default —
+    #            tests/test_mlp_kernel.py), skips ~25M sin/cos fwd+bwd,
+    #            ~157 MB extra HBM; None when the kernel is ineligible;
+    #   both   — the two combined (docs/PERF.md: 173.7 vs 284.7 ms, -39%).
+    def _measure_variant(local_grad, precompute_emb):
+        trainer.cfg.optim.local_sds_grad = local_grad
+        trainer.cfg.optim.precompute_uv_embedding = precompute_emb
+        try:
+            setup_v = (trainer.prepare_sds(skip_bootstrap=True)
+                       if precompute_emb else setup)
+            if precompute_emb and setup_v["emb_pts"] is None:
+                return None  # kernel ineligible (non-TPU / non-8x256 MLP)
+            step_v, opt_v, hot_v = trainer._build_sds_step(setup_v, None)
+            opt_state_v = opt_v.init(params)
+            jax.block_until_ready(step_v(params, opt_state_v, t, key, hot_v))
+            st = {"p": params, "o": opt_state_v}
 
-        def one_local():
-            st["p"], st["o"], loss, gn, fi, grid = step_l(
-                st["p"], st["o"], t, key, hot_l)
-            return loss
-
-        samples_l = _timed_windows(one_local, jax.block_until_ready,
-                                   n_iters, reps)
-        local_ms, _ = _median_iqr_ms(samples_l)
-    except Exception as e:
-        local_ms = f"error: {type(e).__name__}: {str(e)[:200]}"
-    finally:
-        trainer.cfg.optim.local_sds_grad = False
-
-    # (a3) precomputed bf16 Fourier embedding (optim.precompute_uv_embedding):
-    # same gradients (the kernel casts the embedding to its compute dtype at
-    # every MXU use, so bf16 pre-rounding is bit-identical under the bf16
-    # default — tests/test_mlp_kernel.py), skips the ~25M sin/cos per iter
-    # in fwd AND bwd. ~157 MB extra HBM; None when the kernel is ineligible
-    # (non-TPU backend or a non-8x256 MLP).
-    emb_ms = None
-    try:
-        trainer.cfg.optim.precompute_uv_embedding = True
-        setup_e = trainer.prepare_sds(skip_bootstrap=True)
-        if setup_e["emb_pts"] is not None:
-            step_e, opt_e, hot_e = trainer._build_sds_step(setup_e, None)
-            opt_state_e = opt_e.init(params)
-            jax.block_until_ready(step_e(params, opt_state_e, t, key, hot_e))
-            st_e = {"p": params, "o": opt_state_e}
-
-            def one_emb():
-                st_e["p"], st_e["o"], loss, gn, fi, grid = step_e(
-                    st_e["p"], st_e["o"], t, key, hot_e)
+            def one_v():
+                st["p"], st["o"], loss, gn, fi, grid = step_v(
+                    st["p"], st["o"], t, key, hot_v)
                 return loss
 
-            samples_e = _timed_windows(one_emb, jax.block_until_ready,
+            samples_v = _timed_windows(one_v, jax.block_until_ready,
                                        n_iters, reps)
-            emb_ms, _ = _median_iqr_ms(samples_e)
-            del setup_e, step_e, hot_e, opt_state_e, st_e  # free the HBM
-    except Exception as e:
-        emb_ms = f"error: {type(e).__name__}: {str(e)[:200]}"
-    finally:
-        trainer.cfg.optim.precompute_uv_embedding = False
+            med, _ = _median_iqr_ms(samples_v)
+            return med
+        except Exception as e:
+            return f"error: {type(e).__name__}: {str(e)[:200]}"
+        finally:
+            trainer.cfg.optim.local_sds_grad = False
+            trainer.cfg.optim.precompute_uv_embedding = False
 
-    # (a4) both knobs: precomputed embedding feeds the full-canvas forward
-    # AND the tile-local differentiable patch (docs/PERF.md: 173.7 vs 284.7
-    # ms on chip, -39%)
-    both_ms = None
-    try:
-        trainer.cfg.optim.precompute_uv_embedding = True
-        trainer.cfg.optim.local_sds_grad = True
-        setup_b = trainer.prepare_sds(skip_bootstrap=True)
-        if setup_b["emb_pts"] is not None:
-            step_b, opt_b, hot_b = trainer._build_sds_step(setup_b, None)
-            opt_state_b = opt_b.init(params)
-            jax.block_until_ready(step_b(params, opt_state_b, t, key, hot_b))
-            st_b = {"p": params, "o": opt_state_b}
-
-            def one_both():
-                st_b["p"], st_b["o"], loss, gn, fi, grid = step_b(
-                    st_b["p"], st_b["o"], t, key, hot_b)
-                return loss
-
-            samples_b = _timed_windows(one_both, jax.block_until_ready,
-                                       n_iters, reps)
-            both_ms, _ = _median_iqr_ms(samples_b)
-            del setup_b, step_b, hot_b, opt_state_b, st_b
-    except Exception as e:
-        both_ms = f"error: {type(e).__name__}: {str(e)[:200]}"
-    finally:
-        trainer.cfg.optim.precompute_uv_embedding = False
-        trainer.cfg.optim.local_sds_grad = False
+    variant_ms = {}
+    for name, local_grad, precompute_emb in (
+            ("local", True, False), ("emb", False, True),
+            ("both", True, True)):
+        if budget_left_s() < 120:
+            variant_ms[name] = "skipped: bench deadline"
+        else:
+            variant_ms[name] = _measure_variant(local_grad, precompute_emb)
 
     # (b) e2e slice: full paint() = bootstrap -> SDS loop -> eval -> video.
     # Phases come from the profiler with compile separated from steady state.
+    if budget_left_s() < 180:
+        return (iter_ms, iter_iqr, variant_ms), {
+            "error": "skipped: bench deadline"}
     profiler.GLOBAL_TIMINGS = profiler.Timings()
     t0 = time.perf_counter()
     trainer.paint()
@@ -246,7 +235,7 @@ def bench_trainer(tiny):
            "sds_iters": cfg.optim.sds_iterations,
            "eval_poses": cfg.log.full_eval_size,
            "phases": phases}
-    return (iter_ms, iter_iqr, local_ms, emb_ms, both_ms), e2e
+    return (iter_ms, iter_iqr, variant_ms), e2e
 
 
 def bench_sd2_denoise(tiny):
@@ -342,6 +331,33 @@ def backend_reachable(timeout_s=180):
         return False
 
 
+def project_full_run(e2e, iter_ms):
+    """Projected wall-clock of the reference-scale run (5,000 SDS iters +
+    100-pose eval) from the measured slice: bootstrap total + sds compile
+    (first call) + steady iter rate x 5000 + measured per-pose eval x 100.
+    The steady rate is the device-inclusive microbench `full_sds_iter_ms`
+    (the slice's own steady_mean_ms is dispatch-only). Provenance of the
+    comparison target lives in docs/PERF.md (the reference publishes no
+    numbers; BASELINE.md targets <=0.5x an A100-class estimate)."""
+    try:
+        ph = e2e["phases"]
+        boot_s = ph["bootstrap"]["total_s"]
+        compile_s = ph["sds_step"]["first_call_s"]
+        eval_per_pose_s = ph["eval"]["total_s"] / e2e["eval_poses"]
+        proj = (boot_s + compile_s + 5000 * iter_ms / 1000.0
+                + 100 * eval_per_pose_s)
+        return {
+            "projected_full_run_s": round(proj, 1),
+            "formula": "bootstrap + sds_compile + 5000*iter_ms + 100*eval_pose",
+            "inputs": {"bootstrap_s": round(boot_s, 1),
+                       "sds_compile_s": round(compile_s, 1),
+                       "steady_iter_ms": round(iter_ms, 1),
+                       "eval_per_pose_s": round(eval_per_pose_s, 2)},
+        }
+    except Exception as e:
+        return {"error": f"{type(e).__name__}: {str(e)[:120]}"}
+
+
 def main():
     tiny = bool(os.environ.get("BENCH_TINY"))
     _enable_compile_cache()
@@ -350,57 +366,12 @@ def main():
             "metric": "zero123plus_teacher_denoise_steps_per_sec_chip",
             "value": 0.0, "unit": "steps/s", "vs_baseline": 0.0,
             "extra": {"error": "tpu_tunnel_unreachable: device discovery "
-                               "timed out; no measurement possible"}}))
+                               "timed out; no measurement possible"}}),
+            flush=True)
         return
     steps_per_sec, teacher_iqr_ms, mfu = bench_teacher(tiny)
     extra = {"teacher_mfu_pct": round(mfu, 2),
              "teacher_iqr_ms": round(teacher_iqr_ms, 2)}
-    try:
-        import gc
-
-        gc.collect()  # drop the exact-teacher pipeline's HBM first
-        int8_sps, int8_iqr, _ = bench_teacher(tiny, int8=True)
-        extra["teacher_int8_cn_steps_per_sec"] = round(int8_sps, 3)
-        extra["teacher_int8_cn_iqr_ms"] = round(int8_iqr, 2)
-        gc.collect()
-    except Exception as e:
-        extra["teacher_int8_cn_steps_per_sec"] = \
-            f"error: {type(e).__name__}: {str(e)[:200]}"
-    try:
-        import gc
-
-        gc.collect()
-        # optim.int8_teacher: the FULL denoiser on the MXU's 2x int8 path
-        full_sps, full_iqr, _ = bench_teacher(tiny, int8_full=True)
-        extra["teacher_int8_full_steps_per_sec"] = round(full_sps, 3)
-        extra["teacher_int8_full_iqr_ms"] = round(full_iqr, 2)
-        gc.collect()
-    except Exception as e:
-        extra["teacher_int8_full_steps_per_sec"] = \
-            f"error: {type(e).__name__}: {str(e)[:200]}"
-    try:
-        (iter_ms, iter_iqr, local_ms, emb_ms, both_ms), e2e = \
-            bench_trainer(tiny)
-        extra["full_sds_iter_ms"] = round(iter_ms, 1)
-        extra["full_sds_iter_iqr_ms"] = round(iter_iqr, 2)
-        extra["full_sds_iter_local_grad_ms"] = (
-            round(local_ms, 1) if isinstance(local_ms, float) else local_ms)
-        extra["full_sds_iter_emb_ms"] = (
-            round(emb_ms, 1) if isinstance(emb_ms, float) else emb_ms)
-        extra["full_sds_iter_emb_local_ms"] = (
-            round(both_ms, 1) if isinstance(both_ms, float) else both_ms)
-        extra["e2e_slice"] = e2e
-    except Exception as e:  # never lose the primary metric
-        extra["full_sds_iter_ms"] = f"error: {type(e).__name__}: {str(e)[:200]}"
-    try:
-        extra["volume_rays_per_sec"] = round(bench_volume(tiny))
-    except Exception as e:
-        extra["volume_rays_per_sec"] = f"error: {type(e).__name__}: {str(e)[:200]}"
-    try:
-        extra["sd2_denoise_steps_per_sec"] = round(bench_sd2_denoise(tiny), 2)
-    except Exception as e:
-        extra["sd2_denoise_steps_per_sec"] = f"error: {type(e).__name__}: {str(e)[:200]}"
-
     out = {
         "metric": "zero123plus_teacher_denoise_steps_per_sec_chip",
         "value": round(steps_per_sec, 3),
@@ -411,7 +382,66 @@ def main():
     prev = prev_round_value()
     if prev:
         out["vs_prev_round"] = round(steps_per_sec / prev, 3)
-    print(json.dumps(out))
+    # Emit the primary metric NOW: if any later extra stalls past the
+    # driver's timeout, this line is still in the stdout tail and parses.
+    # The enriched line printed at the end supersedes it (the driver takes
+    # the last JSON line).
+    print(json.dumps(out), flush=True)
+
+    if os.environ.get("BENCH_INT8"):
+        # int8 variants are settled science (measured NEGATIVE on this
+        # workload, docs/PERF.md) — two full-size compiles not worth the
+        # default budget; opt back in with BENCH_INT8=1.
+        import gc
+
+        for label, kw in (("cn", {"int8": True}), ("full", {"int8_full": True})):
+            if budget_left_s() < 120:
+                extra[f"teacher_int8_{label}_steps_per_sec"] = \
+                    "skipped: bench deadline"
+                continue
+            try:
+                gc.collect()
+                sps, iqr, _ = bench_teacher(tiny, **kw)
+                extra[f"teacher_int8_{label}_steps_per_sec"] = round(sps, 3)
+                extra[f"teacher_int8_{label}_iqr_ms"] = round(iqr, 2)
+                gc.collect()
+            except Exception as e:
+                extra[f"teacher_int8_{label}_steps_per_sec"] = \
+                    f"error: {type(e).__name__}: {str(e)[:200]}"
+
+    if budget_left_s() < 240:
+        extra["full_sds_iter_ms"] = "skipped: bench deadline"
+    else:
+        try:
+            (iter_ms, iter_iqr, variant_ms), e2e = bench_trainer(tiny)
+            extra["full_sds_iter_ms"] = round(iter_ms, 1)
+            extra["full_sds_iter_iqr_ms"] = round(iter_iqr, 2)
+            for name, key in (("local", "full_sds_iter_local_grad_ms"),
+                              ("emb", "full_sds_iter_emb_ms"),
+                              ("both", "full_sds_iter_emb_local_ms")):
+                v = variant_ms.get(name)
+                extra[key] = round(v, 1) if isinstance(v, float) else v
+            extra["e2e_slice"] = e2e
+            if "phases" in e2e:
+                best_iter = min([iter_ms] + [v for v in variant_ms.values()
+                                            if isinstance(v, float)])
+                e2e["projection_default"] = project_full_run(e2e, iter_ms)
+                e2e["projection_best_knobs"] = project_full_run(e2e, best_iter)
+        except Exception as e:  # never lose the primary metric
+            extra["full_sds_iter_ms"] = \
+                f"error: {type(e).__name__}: {str(e)[:200]}"
+
+    for key, fn, digits in (("volume_rays_per_sec", bench_volume, 0),
+                            ("sd2_denoise_steps_per_sec", bench_sd2_denoise, 2)):
+        if budget_left_s() < 60:
+            extra[key] = "skipped: bench deadline"
+            continue
+        try:
+            extra[key] = round(fn(tiny), digits) if digits else round(fn(tiny))
+        except Exception as e:
+            extra[key] = f"error: {type(e).__name__}: {str(e)[:200]}"
+
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
