@@ -137,11 +137,12 @@ class OptimConfig:
     # Save a full checkpoint (params + opt state + RNG key) every N SDS iters
     checkpoint_interval: int = 1000
     # SDS tile sampling distribution over the 6 grid tiles: 'uniform'
-    # reproduces the reference (random.randint(0,5), trainer.py:843);
-    # 'mixed' (default) = 0.5 uniform floor + 0.5 view-weight, so views with
-    # zero best-view pixels still receive gradients; 'weighted' = pure
+    # (default) reproduces the reference exactly (random.randint(0,5),
+    # trainer.py:843); 'mixed' = 0.5 uniform floor + 0.5 view-weight, the
+    # recommended improvement (views whose pixels see their faces head-on
+    # get more SDS draws while no view is starved); 'weighted' = pure
     # view-weight proportions.
-    tile_weighting: str = "mixed"
+    tile_weighting: str = "uniform"
     # Precompute the Fourier embedding of the static grid UVs and evaluate
     # the fused precomputed-embedding kernel in the hot loop (~18 ms/iter
     # faster, costs ~314 MB HBM residency — see docs/PERF.md headroom).

@@ -416,9 +416,9 @@ class ConTEXTure:
         # proportionally more SDS tile draws. This consumes the reference's
         # computed-but-unused six_view_weights (trainer.py:709; SURVEY.md §7
         # "actually use or drop"). optim.tile_weighting selects: 'uniform'
-        # (exact reference behavior), 'weighted', or 'mixed' (default —
-        # 0.5 uniform floor so a view with zero best-view pixels still
-        # receives SDS gradients).
+        # (default — exact reference behavior), 'weighted', or 'mixed'
+        # (recommended improvement — 0.5 uniform floor so a view with zero
+        # best-view pixels still receives SDS gradients).
         fg = object_masks > 0.5
         best = jnp.logical_and(self.view_weights, fg)
         frac = (best.sum(axis=(1, 2, 3)) /

@@ -24,6 +24,9 @@ def test_defaults_match_reference():
     assert cfg.optim.seed == 0
     assert cfg.optim.min_timestep == 0.02
     assert cfg.optim.max_timestep == 0.98
+    # reference parity: uniform tile draw (random.randint(0,5),
+    # reference trainer.py:843); 'mixed' is the opt-in improvement
+    assert cfg.optim.tile_weighting == "uniform"
     assert cfg.log.eval_size == 10
     assert cfg.log.full_eval_size == 100
 
