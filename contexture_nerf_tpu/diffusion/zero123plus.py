@@ -428,27 +428,77 @@ class Zero123PlusPipeline:
 
     # -- generation ---------------------------------------------------------------
 
+    def attach_inpaint_unet(self, module, params) -> None:
+        """Wire the SD2-inpaint UNet into the generation loop (reference
+        trainer.py:308: `pipeline.inpaint_unet = diffusion.inpaint_unet`).
+        `module` is a 9-channel UNet2DCondition, `params` its variables."""
+        self.inpaint_unet = module
+        self.inpaint_params = params
+
     def generate(self, cond_image: jnp.ndarray, depth_image: jnp.ndarray,
                  num_inference_steps: int = 28, guidance_scale: float = 4.0,
                  key: Optional[jax.Array] = None,
-                 height: int = 960, width: int = 640) -> jnp.ndarray:
+                 height: int = 960, width: int = 640,
+                 use_blending: bool = False, use_inpaint: bool = False,
+                 latent_mask_grid: Optional[jnp.ndarray] = None,
+                 latent_renders_grid: Optional[jnp.ndarray] = None,
+                 masked_input_latents: Optional[jnp.ndarray] = None
+                 ) -> jnp.ndarray:
         """Full EulerAncestral generation of the 3x2 grid (hub __call__,
         zero123plus.py:751-833). cond_image (1,3,Hc,Wc) in [-1,1];
         depth_image (1,3,height,width) in [0,1]-ish (depth transforms).
-        Returns [0,1] RGB grid (1,3,height,width)."""
+        Returns [0,1] RGB grid (1,3,height,width).
+
+        The authors' generation-loop extensions (run_sd_pipeline,
+        reference src/zero123plus.py:651-707):
+
+          - use_blending: before each non-inpaint denoise step, the latent is
+            blended with the current-noise-level noising of the clean render
+            grid latent — `lat*mask + (renders + sigma_i*eps)*(1-mask)` —
+            keeping already-textured regions (mask==0) pinned to the student
+            render while the masked region (mask==1) is generated; after the
+            LAST step the clean `latent_renders_grid` is blended in
+            (:706-707). Parity note: the reference's pre-step blend noises
+            `latent_mask_grid` (:655) where every surrounding name
+            (`noised_cropped_rgb_renders_grid`) and the final blend (:707)
+            say `latent_renders_grid` was intended — this implementation
+            noises the renders grid.
+          - use_inpaint: denoise steps 10 < i < 20 route through the 9-ch
+            SD2-inpaint UNet on [latents, mask, masked_input_latents]
+            (:676-689; wire it via attach_inpaint_unet, reference
+            trainer.py:308). Its output feeds the SAME v-prediction
+            EulerAncestral step as the main UNet's, mirroring the reference.
+
+        latent_mask_grid: (1,1,h,w) latent-resolution mask, 1 = generate.
+        latent_renders_grid / masked_input_latents: (1,4,h,w) SCALED latents
+        (scale_latents domain, like the loop's own)."""
         key = jax.random.PRNGKey(0) if key is None else key
         k_cond, k_lat, k_loop = jax.random.split(key, 3)
         cond_lat_pair, ehs = self.prepare_conditioning(cond_image, k_cond)
 
-        sig = ("gen", num_inference_steps, height, width)
+        if use_inpaint and getattr(self, "inpaint_unet", None) is None:
+            raise ValueError("use_inpaint=True requires attach_inpaint_unet "
+                             "(reference trainer.py:308)")
+        if (use_blending or use_inpaint) and latent_mask_grid is None:
+            raise ValueError("use_blending/use_inpaint require "
+                             "latent_mask_grid")
+        if use_blending and latent_renders_grid is None:
+            raise ValueError("use_blending requires latent_renders_grid")
+        if use_inpaint and masked_input_latents is None:
+            raise ValueError("use_inpaint requires masked_input_latents")
+
+        sig = ("gen", num_inference_steps, height, width, use_blending,
+               use_inpaint)
         if sig not in self._jit_cache:
             euler = self.euler
             ts, sigmas = euler.timesteps_and_sigmas(num_inference_steps)
+            n_steps = int(ts.shape[0])
             # latent size follows the VAE's downsample factor (8 for SD;
             # smaller for tiny test configs)
             down = 2 ** (len(self.vae_config.block_out_channels) - 1)
 
-            def run(params, cond_lat_pair, ehs, depth, gs, key):
+            def run(params, inpaint_params, cond_lat_pair, ehs, depth, gs,
+                    key, mask, renders, masked_lat):
                 kl, key = jax.random.split(key)
                 lat = jax.random.normal(
                     kl, (1, 4, height // down, width // down)) * sigmas[0]
@@ -456,17 +506,62 @@ class Zero123PlusPipeline:
                 def body(carry, inp):
                     lat, key = carry
                     t, i = inp
-                    kw, ks_, key = jax.random.split(key, 3)
+                    # 4-way split regardless of the blending flag so the
+                    # kw/ks_ streams are identical across use_blending
+                    # variants (mask==1 therefore reproduces the plain loop
+                    # bit-for-bit — tests/test_round4.py)
+                    kw, ks_, kb, key = jax.random.split(key, 4)
                     sigma = sigmas[i]
-                    v = self._cfg_v_pred(
-                        params, lat, t, cond_lat_pair, ehs, depth, gs, kw,
-                        scale_input=lambda x: euler.scale_model_input(
-                            x, sigma))
+                    in_inpaint = (i > 10) & (i < 20) if use_inpaint else False
+
+                    if use_blending:
+                        eps = jax.random.normal(kb, renders.shape,
+                                                renders.dtype)
+                        blended = (lat * mask
+                                   + euler.add_noise(renders, eps, sigma)
+                                   * (1 - mask))
+                        if use_inpaint:
+                            # the reference skips the pre-step blend inside
+                            # the inpaint range (:652)
+                            lat = jnp.where(in_inpaint, lat, blended)
+                        else:
+                            lat = blended
+
+                    def main_branch(lat):
+                        return self._cfg_v_pred(
+                            params, lat, t, cond_lat_pair, ehs, depth, gs,
+                            kw, scale_input=lambda x: euler.scale_model_input(
+                                x, sigma))
+
+                    def inpaint_branch(lat):
+                        # 9-ch [latents, mask, masked latents] x2 for CFG,
+                        # empty-prompt/cond prompt pair as ehs already is
+                        nine = jnp.concatenate([lat, mask, masked_lat],
+                                               axis=1)
+                        nine = euler.scale_model_input(
+                            jnp.concatenate([nine] * 2), sigma)
+                        pred = self.inpaint_unet.apply(inpaint_params, nine,
+                                                       t, ehs)
+                        p_u, p_c = jnp.split(pred, 2, axis=0)
+                        return p_u + gs * (p_c - p_u)
+
+                    if use_inpaint:
+                        v = jax.lax.cond(in_inpaint, inpaint_branch,
+                                         main_branch, lat)
+                    else:
+                        v = main_branch(lat)
                     lat = euler.step(v, i, lat, sigmas, ks_)
+                    if use_blending:
+                        # final-step blend with the CLEAN renders grid
+                        # (reference :706-707)
+                        is_last = i == n_steps - 1
+                        lat = jnp.where(is_last,
+                                        lat * mask + renders * (1 - mask),
+                                        lat)
                     return (lat, key), None
 
                 (lat, _), _ = jax.lax.scan(
-                    body, (lat, key), (ts, jnp.arange(ts.shape[0])))
+                    body, (lat, key), (ts, jnp.arange(n_steps)))
                 lat = unscale_latents(lat)
                 img = self.vae.apply(params["vae"], lat / VAE_SCALE,
                                      method=self.vae.decode)
@@ -474,7 +569,16 @@ class Zero123PlusPipeline:
                 return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
 
             self._jit_cache[sig] = jax.jit(run)
-        return self._jit_cache[sig](self.params, cond_lat_pair, ehs,
-                                    depth_image,
-                                    jnp.asarray(guidance_scale, jnp.float32),
-                                    k_loop)
+
+        down = 2 ** (len(self.vae_config.block_out_channels) - 1)
+        h, w = height // down, width // down
+        zero_mask = jnp.zeros((1, 1, h, w), jnp.float32)
+        zero_lat = jnp.zeros((1, 4, h, w), jnp.float32)
+        inpaint_params = (getattr(self, "inpaint_params", None)
+                          if use_inpaint else None)
+        return self._jit_cache[sig](
+            self.params, inpaint_params, cond_lat_pair, ehs, depth_image,
+            jnp.asarray(guidance_scale, jnp.float32), k_loop,
+            latent_mask_grid if latent_mask_grid is not None else zero_mask,
+            latent_renders_grid if latent_renders_grid is not None else zero_lat,
+            masked_input_latents if masked_input_latents is not None else zero_lat)
