@@ -75,7 +75,9 @@ class CLIPVisionConfig:
 
 def _act(name):
     if name == "gelu":
-        return nn.gelu
+        # transformers ACT2FN["gelu"] is the EXACT erf GELU
+        # (tests/test_weights_numeric.py)
+        return lambda x: nn.gelu(x, approximate=False)
     if name == "quick_gelu":
         return lambda x: x * nn.sigmoid(1.702 * x)
     raise NotImplementedError(name)

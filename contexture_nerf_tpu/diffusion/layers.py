@@ -104,14 +104,23 @@ class ResnetBlock2D(nn.Module):
 
 
 class Downsample2D(nn.Module):
+    """Stride-2 conv downsample. The UNet variant pads symmetrically
+    (diffusers downsample_padding=1); the VAE encoder variant
+    (asymmetric=True) mirrors diffusers' padding=0 path, which F.pads
+    (0,1,0,1) — right/bottom only — before a pad-0 conv. SD VAE checkpoints
+    are trained with that layout; a symmetric pad shifts every feature map
+    by half a pixel (tests/test_weights_numeric.py)."""
+
     out_channels: int
     dtype: jnp.dtype = jnp.float32
     quant: bool = False
+    asymmetric: bool = False
 
     @nn.compact
     def __call__(self, x):
         cg = int8_conv_general_dilated if self.quant else None
-        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
+        pad = ((0, 1), (0, 1)) if self.asymmetric else 1
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=pad,
                        dtype=self.dtype, conv_general_dilated=cg,
                        name="conv")(x)
 
@@ -197,7 +206,9 @@ class FeedForward(nn.Module):
         h = nn.Dense(inner * 2, dtype=self.dtype, dot_general=dg,
                      name="geglu_proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        # diffusers GEGLU uses torch F.gelu's default EXACT erf form, not the
+        # tanh approximation (tests/test_weights_numeric.py)
+        h = h * nn.gelu(gate, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, dot_general=dg,
                         name="out_proj")(h)
 

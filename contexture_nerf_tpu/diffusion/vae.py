@@ -82,7 +82,7 @@ class Encoder(nn.Module):
                            use_temb=False,
                            name=f"down_{bi}_resnet_{li}")(h)
             if bi < len(cfg.block_out_channels) - 1:
-                h = Downsample2D(out_ch, dtype=self.dtype,
+                h = Downsample2D(out_ch, dtype=self.dtype, asymmetric=True,
                                  name=f"down_{bi}_downsample")(h)
         mid_ch = cfg.block_out_channels[-1]
         h = Resnet(mid_ch, eps=1e-6, dtype=self.dtype, use_temb=False,

@@ -41,6 +41,7 @@ def _tiny_cfg(sphere_obj, tmp_path, name, iters=1, **optim):
 # tile weighting (ADVICE 1)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_tile_weighting_modes(sphere_obj, tmp_path):
     cfg = _tiny_cfg(sphere_obj, tmp_path, "tiles")
     tr = ConTEXTure(cfg, tiny_models=True, backend="xla")
@@ -82,6 +83,7 @@ def _one_step_param_delta(tr, setup):
                zip(jax.tree.leaves(params), jax.tree.leaves(new_params)))
 
 
+@pytest.mark.slow
 def test_edit_change_mask_localizes_gradients(sphere_obj, tmp_path):
     cfg = _tiny_cfg(sphere_obj, tmp_path, "editmask")
     tr = ConTEXTure(cfg, tiny_models=True, backend="xla")
@@ -108,6 +110,7 @@ def test_edit_change_mask_localizes_gradients(sphere_obj, tmp_path):
 # precomputed-embedding path (ADVICE 3)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_precompute_uv_embedding_consumed(sphere_obj, tmp_path, monkeypatch):
     cfg = _tiny_cfg(sphere_obj, tmp_path, "embpts",
                     precompute_uv_embedding=True)
@@ -140,6 +143,7 @@ def test_precompute_uv_embedding_consumed(sphere_obj, tmp_path, monkeypatch):
     np.testing.assert_allclose(loss_emb, loss_uv, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_precompute_uv_embedding_composes_with_mesh(sphere_obj, tmp_path,
                                                     monkeypatch):
     """optim.precompute_uv_embedding + optim.data_parallel: the fused
@@ -183,6 +187,7 @@ def test_precompute_uv_embedding_composes_with_mesh(sphere_obj, tmp_path,
 # incremental metrics persistence (ADVICE 2)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_metrics_survive_interruption(sphere_obj, tmp_path):
     cfg = _tiny_cfg(sphere_obj, tmp_path, "interrupted", iters=3,
                     checkpoint_interval=1)
@@ -293,6 +298,7 @@ def test_stale_config_keys_warn_and_strict_raises(caplog):
     assert cfg.guide.individual_control_of_conditions is True
 
 
+@pytest.mark.slow
 def test_tile_weighting_all_zero_falls_back_to_uniform(sphere_obj, tmp_path):
     """All-zero view weights must not produce NaN tile probabilities in
     'weighted'/'mixed' modes (r3 code review)."""
@@ -311,6 +317,7 @@ def test_tile_weighting_all_zero_falls_back_to_uniform(sphere_obj, tmp_path):
     np.testing.assert_allclose(probs, np.full(6, 1 / 6), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_explicit_tp_without_mesh_raises(sphere_obj, tmp_path):
     """optim.tensor_parallel/sequence_parallel > 1 must error loudly when no
     mesh can be built, not silently run single-device (r3 code review)."""
@@ -325,6 +332,7 @@ def test_explicit_tp_without_mesh_raises(sphere_obj, tmp_path):
 # semantic SDS convergence smoke (VERDICT r2 weak #5)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_sds_converges_to_constructed_teacher_target(sphere_obj, tmp_path):
     """A 'trained-by-construction' teacher whose v-prediction is exactly the
     velocity consistent with a fixed target latent must pull the student's
@@ -379,8 +387,16 @@ def test_sds_converges_to_constructed_teacher_target(sphere_obj, tmp_path):
         if i % 20 == 0 or i == 79:
             dists.append(float(jnp.abs(z_mean(grid) - z_tgt).mean()))
     assert np.isfinite(dists).all()
-    # strong monotone-ish contraction toward the constructed target
-    assert dists[-1] < 0.6 * dists[0], dists
+    # monotone contraction toward the constructed target, down to the
+    # chain's quantization floor. The floor moved up (0.028 -> 0.066) when
+    # the VAE encoder adopted diffusers' asymmetric downsample padding
+    # (round 4, tests/test_weights_numeric.py): latent cells now straddle
+    # pixel-tile boundaries — same behavior as the real SD VAE — so the
+    # tile-sliced loss cannot drive the boundary cells all the way. The
+    # contraction itself (the thing this smoke guards: gradients flow the
+    # right way through MLP -> grid -> VAE -> SDS -> adam) is unchanged.
+    assert all(b <= a + 1e-6 for a, b in zip(dists, dists[1:])), dists
+    assert dists[-1] < 0.8 * dists[0], dists
     # NOTE: pixel-space convergence is NOT implied here — the random tiny
     # VAE encoder is not injective, so z -> z_tgt can hold while pixels
     # drift. The visually-checkable version (fit the tiny VAE as a faithful
@@ -392,6 +408,7 @@ def test_sds_converges_to_constructed_teacher_target(sphere_obj, tmp_path):
 # loop-invariant ControlNet hint embedding hoist (r3 perf)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_precomputed_cn_cond_embedding_matches_inline():
     """_cfg_v_pred with the hoisted hint embedding == computing it inline
     (the embedding depends only on the depth image; trainer hoists it out of
