@@ -67,6 +67,11 @@ def make_path(p: Path) -> Path:
 class ConTEXTure:
     """Text -> textured mesh (reference ConTEXTure, trainer.py:108)."""
 
+    # max eval chunks holding device buffers at once (evaluate(): enough to
+    # overlap fetch with render, bounded so 100x1024^2 eval doesn't pin
+    # ~300 MB of frames next to the towers)
+    _EVAL_INFLIGHT = 3
+
     def __init__(self, cfg: TrainConfig, tiny_models: bool = False,
                  backend: Optional[str] = None):
         self.cfg = cfg
@@ -1283,27 +1288,23 @@ class ConTEXTure:
             phis = np.concatenate([phis, np.repeat(phis[-1:], pad)])
             radii = np.concatenate([radii, np.repeat(radii[-1:], pad)])
 
-        # two-phase: dispatch EVERY chunk (device-side uint8 quantization,
-        # async device->host copies) before materializing any — the frame
-        # fetch (dim^2 x 3 bytes instead of x12 f32) overlaps the next
-        # chunk's render instead of stalling it
+        # pipelined dispatch with a BOUNDED in-flight window: each chunk is
+        # dispatched (device-side uint8 quantization + async device->host
+        # copy) so the frame fetch (dim^2 x 3 bytes instead of x12 f32)
+        # overlaps the next chunk's render — but at most _EVAL_INFLIGHT
+        # chunks hold device buffers at once (an unbounded window held every
+        # frame until the loop ended: ~300 MB device-side at 100 poses x
+        # 1024^2 next to the towers)
         if not hasattr(self, "_quant_jit"):
             self._quant_jit = jax.jit(self._quantize_u8)
-        pending = []
-        for start in range(0, n + pad, chunk):
-            sl = slice(start, start + chunk)
-            preds, textures, depths, normals = eval_fn(
-                self.texture_params, jnp.asarray(thetas[sl]),
-                jnp.asarray(phis[sl]), jnp.asarray(radii[sl]))
-            texture = textures
-            pq, bad = self._quant_jit(preds)
-            for a in (pq, bad):
-                if hasattr(a, "copy_to_host_async"):
-                    a.copy_to_host_async()
-            pending.append((start, pq, bad))
+        from collections import deque
+
         from PIL import Image
 
-        for start, pq, bad in pending:
+        pending = deque()
+
+        def drain_one():
+            start, pq, bad = pending.popleft()
             if int(np.asarray(bad)):
                 raise ValueError(
                     "Tensor contains NaNs or infinite values "
@@ -1316,6 +1317,22 @@ class ConTEXTure:
                 else:
                     Image.fromarray(arr[j]).save(
                         save_path / f"eval_rendered_{i:04d}_rgb.jpg")
+
+        for start in range(0, n + pad, chunk):
+            sl = slice(start, start + chunk)
+            preds, textures, depths, normals = eval_fn(
+                self.texture_params, jnp.asarray(thetas[sl]),
+                jnp.asarray(phis[sl]), jnp.asarray(radii[sl]))
+            texture = textures
+            pq, bad = self._quant_jit(preds)
+            for a in (pq, bad):
+                if hasattr(a, "copy_to_host_async"):
+                    a.copy_to_host_async()
+            pending.append((start, pq, bad))
+            if len(pending) > self._EVAL_INFLIGHT:
+                drain_one()
+        while pending:
+            drain_one()
         Image.fromarray(tensor2numpy(texture[0])).save(
             save_path / "eval_texture_atlas.png")
         if save_as_video and all_preds:
