@@ -31,6 +31,7 @@ def _lat_shape(pipe):
     return (1, 4, H // down, W // down)
 
 
+@pytest.mark.slow
 def test_blending_mask_ones_reproduces_plain_loop(pipe):
     """mask==1 everywhere means every blend is `lat*1 + x*0` — the blended
     generation must be BIT-identical to the plain loop under the same key
@@ -49,6 +50,7 @@ def test_blending_mask_ones_reproduces_plain_loop(pipe):
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(blended))
 
 
+@pytest.mark.slow
 def test_blending_mask_zeros_pins_output_to_renders(pipe):
     """mask==0 everywhere: the final-step blend (reference :706-707) replaces
     the latent wholesale with the clean renders grid, so the output image is
@@ -98,6 +100,7 @@ def test_blending_mask_is_spatially_selective(pipe):
     assert not np.array_equal(np.asarray(base), np.asarray(diff))
 
 
+@pytest.mark.slow
 def test_inpaint_routes_mid_steps_through_inpaint_unet(pipe):
     """use_inpaint: steps 10 < i < 20 run the 9-ch inpaint UNet
     (reference :651,676-689). With 12 steps only i==11 is in range; the
@@ -147,3 +150,116 @@ def test_generate_extension_arg_validation(pipe):
                        use_inpaint=True,
                        latent_mask_grid=jnp.ones((1, 1) + _lat_shape(pipe)[2:]),
                        masked_input_latents=jnp.zeros(_lat_shape(pipe)))
+
+
+# ---------------------------------------------------------------------------
+# HLO collective assertions for the sharded production step (VERDICT r3 #5):
+# the dryrun proves sharded==single numerically, but a sharding-spec
+# regression that silently REPLICATES the canvas (all-gather instead of a
+# distributed layout) would pass that test while destroying scaling. Compile
+# the real step on the 8-virtual-CPU mesh and inspect the SPMD-partitioned
+# module text.
+# ---------------------------------------------------------------------------
+
+
+import re
+
+from contexture_nerf_tpu.core.config import config_from_dict
+from contexture_nerf_tpu.training.trainer import ConTEXTure
+
+
+@pytest.fixture(scope="module")
+def sphere_obj_r4(tmp_path_factory):
+    from tools.make_shapes import uv_sphere, write_obj
+
+    p = tmp_path_factory.mktemp("shapes_r4") / "sphere.obj"
+    write_obj(p, *uv_sphere(8, 12))
+    return str(p)
+
+
+def _compiled_step(sphere_obj, tmp_path, name, **optim):
+    cfg = config_from_dict({
+        "log": {"exp_name": name, "exp_root": str(tmp_path),
+                "eval_size": 1, "full_eval_size": 1, "log_images": False,
+                "save_mesh": False},
+        "render": {"train_grid_size": 48, "eval_grid_size": 48},
+        "guide": {"text": "a test", "shape_path": sphere_obj,
+                  "texture_resolution": 16},
+        "optim": {"seed": 0, "sds_iterations": 1, **optim},
+    })
+    tr = ConTEXTure(cfg, tiny_models=True, backend="xla")
+    mesh = tr._make_mesh()
+    setup = tr.prepare_sds(skip_bootstrap=True)
+    step, optimizer, hot = tr._build_sds_step(setup, mesh)
+    params = tr.texture_params
+    opt_state = optimizer.init(params)
+    t = jnp.asarray([500], jnp.int32)
+    key = jax.random.PRNGKey(0)
+    return step.lower(params, opt_state, t, key, hot).compile()
+
+
+_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "u8": 1,
+          "pred": 1}
+
+
+def _allgather_bytes(txt):
+    """Result-buffer bytes of every all-gather instruction."""
+    out = []
+    for m in re.finditer(r"=\s*(?:\()?\s*([a-z0-9]+)\[([0-9,]*)\]"
+                         r"[^a-z]*all-gather", txt):
+        n = 1
+        for d in m.group(2).split(","):
+            if d:
+                n *= int(d)
+        out.append(n * _BYTES.get(m.group(1), 4))
+    return out
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
+def test_sharded_step_stays_distributed(sphere_obj_r4, tmp_path):
+    """The failure mode this guards: a sharding-spec regression that
+    silently REPLICATES the canvas state on every device. Three checks on
+    the compiled SPMD module (8-virtual-CPU mesh):
+
+      1. the gradient all-reduce over the views axis exists;
+      2. all-gather traffic stays small — legitimate gathers exist (self-
+         attention KV over the canvas-token sequence, resize halo reads)
+         but they are KBs; replication would show canvas-activation-sized
+         results (the single-device temp pool is ~300 MB);
+      3. per-device temp memory is a small fraction of the single-device
+         compile's (measured 9.3% on an 8-way mesh; near-ideal 12.5%) —
+         the direct, layout-agnostic signature of distributed state.
+    """
+    cs = _compiled_step(sphere_obj_r4, tmp_path, "hlo_dp",
+                        data_parallel="on")
+    low = cs.as_text().lower()
+    assert "all-reduce" in low
+    gathers = _allgather_bytes(low)
+    assert gathers, "expected some collectives in the SPMD module"
+    assert max(gathers) <= 2 * 2 ** 20, (
+        f"all-gather of {max(gathers)} bytes — canvas-scale replication "
+        f"(current max is ~384 KB attention-KV)")
+    assert sum(gathers) <= 32 * 2 ** 20, sum(gathers)
+
+    c1 = _compiled_step(sphere_obj_r4, tmp_path, "hlo_single",
+                        data_parallel="off")
+    sharded = cs.memory_analysis().temp_size_in_bytes
+    single = c1.memory_analysis().temp_size_in_bytes
+    assert sharded < 0.5 * single, (
+        f"sharded per-device temp {sharded} vs single-device {single}: "
+        "canvas state is being replicated")
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
+def test_tp_step_hlo_has_tower_collectives(sphere_obj_r4, tmp_path):
+    """(views x 2) TP mesh: the Megatron-split towers must produce their
+    partial-sum combines (all-reduce or reduce-scatter) in the compiled
+    module, and the all-gather traffic bound holds there too."""
+    cs = _compiled_step(sphere_obj_r4, tmp_path, "hlo_tp",
+                        data_parallel="on", tensor_parallel=2)
+    low = cs.as_text().lower()
+    assert ("all-reduce" in low) or ("reduce-scatter" in low)
+    gathers = _allgather_bytes(low)
+    assert max(gathers) <= 2 * 2 ** 20, max(gathers)
