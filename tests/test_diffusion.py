@@ -265,6 +265,7 @@ def test_attention_extra_kv_equals_concat(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_zero123plus_generate_tiny():
     """Full EulerAncestral generation path (hub __call__ equivalent,
     zero123plus.py:751-833) runs end-to-end on the tiny pipeline and emits a
@@ -285,6 +286,7 @@ def test_zero123plus_generate_tiny():
     assert arr.min() >= 0.0 and arr.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_img2img_intermediates_and_blending_tiny():
     """img2img flag combos: intermediate_vis returns decoded frames from the
     scan; use_latent_blending compiles and runs (reference's commented

@@ -97,6 +97,7 @@ def test_sync_writer_inline():
     w.close()
 
 
+@pytest.mark.slow
 def test_trainer_async_logging_produces_artifacts(tmp_path):
     """Tiny paint with log_images=True: the async writer must land the
     texture-map PNGs and debug grid JPGs before paint() returns (flush at

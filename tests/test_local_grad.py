@@ -20,6 +20,8 @@ from contexture_nerf_tpu.core.config import config_from_dict
 from contexture_nerf_tpu.training.trainer import ConTEXTure
 from tools.make_shapes import uv_sphere, write_obj
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded from the core gate
+
 
 def make_trainer(tmp_path, **optim):
     sphere = tmp_path / "sphere.obj"

@@ -76,6 +76,7 @@ def test_shard_leading_axis_placement(mesh8):
     assert placed["b"].sharding.spec == P()
 
 
+@pytest.mark.slow
 def test_tensor_parallel_teacher_matches_replicated(mesh8):
     """TP-sharded UNet params (QKV/MLP column-parallel, out-proj row-parallel,
     conv out-channels) produce the same teacher v-prediction as replicated
@@ -115,6 +116,7 @@ def test_tensor_parallel_teacher_matches_replicated(mesh8):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_eval_matches_single(mesh8, tmp_path):
     """Eval turntable frames shard over the views axis; sharded batch render
     equals per-frame single-device renders."""
@@ -164,6 +166,7 @@ def test_sharded_eval_matches_single(mesh8, tmp_path):
         break
 
 
+@pytest.mark.slow
 def test_trainer_tensor_parallel_mesh_and_specs(tmp_path):
     """optim.tensor_parallel is reachable from the trainer: _make_mesh builds
     the (views x tp) mesh and _build_sds_step applies Megatron shardings to

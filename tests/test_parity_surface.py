@@ -40,6 +40,7 @@ def test_split_zero123plus_grid_matches_flat_split(rng):
                                   np.asarray(grid))
 
 
+@pytest.mark.slow
 def test_img2img_single_step(sd_tiny):
     """One CFG denoise step at an explicit scheduler position (reference
     img2img_single_step, stable_diffusion_depth.py:246-278)."""
@@ -52,6 +53,7 @@ def test_img2img_single_step(sd_tiny):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_sds_grad_shape_and_determinism(sd_tiny):
     """eps-prediction SDS gradient (reference train_step,
     stable_diffusion_depth.py:866-929): w(t)(eps_pred - eps), finite, and

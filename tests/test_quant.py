@@ -119,6 +119,7 @@ def test_controlnet_param_tree_invariant(tiny_controlnets):
         assert a.shape == b.shape and a.dtype == b.dtype
 
 
+@pytest.mark.slow
 def test_controlnet_int8_close_to_exact(tiny_controlnets):
     exact, quant, params, (lat, ehs, cond), _ = tiny_controlnets
     key = jax.random.PRNGKey(11)
@@ -134,6 +135,7 @@ def test_controlnet_int8_close_to_exact(tiny_controlnets):
     assert float(np.mean(errs)) < 0.15, errs
 
 
+@pytest.mark.slow
 def test_pipeline_int8_controlnet_teacher_runs():
     """int8_controlnet=True through the real teacher path: at zero-init
     output projections the quantized hints must stay exactly zero, so the
@@ -168,6 +170,7 @@ def test_pipeline_int8_controlnet_teacher_runs():
 # the caveat lives in core/config.py + docs/PERF.md.
 
 
+@pytest.mark.slow
 def test_int8_teacher_under_tp_mesh_matches_unsharded():
     """int8 quantization composes with GSPMD: the quantized teacher under
     TP-sharded params equals the unsharded quantized teacher (the dynamic
@@ -205,6 +208,7 @@ def test_int8_teacher_under_tp_mesh_matches_unsharded():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_int8_unet_param_tree_invariant_and_close():
     """optim.int8_teacher quantizes the full denoiser UNet: the param tree is
     identical to the exact module (weights stay bf16/f32 masters) and the
@@ -231,6 +235,7 @@ def test_int8_unet_param_tree_invariant_and_close():
     assert _rel_err(out_q, out_e) < 0.25, _rel_err(out_q, out_e)
 
 
+@pytest.mark.slow
 def test_int8_teacher_config_knob(tmp_path):
     """optim.int8_teacher reaches the UNet AND implies the ControlNet path;
     one production SDS step through the fully quantized teacher stays
@@ -264,6 +269,7 @@ def test_int8_teacher_config_knob(tmp_path):
     assert np.isfinite(float(loss)) and np.isfinite(float(grad_norm))
 
 
+@pytest.mark.slow
 def test_config_knob_reaches_pipeline(tmp_path):
     from contexture_nerf_tpu.core.config import config_from_dict
     from tools.make_shapes import uv_sphere, write_obj

@@ -105,6 +105,7 @@ def test_apply_median_fill_is_true_median(tiny_mesh_obj):
 
 # -- individual control of conditions (guidance_scale_i/t) --------------------
 
+@pytest.mark.slow
 def test_individual_cfg_collapses_to_standard():
     """gs_i == gs_t == g must equal standard CFG at scale g (the algebraic
     collapse documented in _cfg_v_pred_individual)."""
@@ -128,6 +129,7 @@ def test_individual_cfg_collapses_to_standard():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_individual_cfg_scales_differ():
     """Different (gs_i, gs_t) pairs produce different teacher predictions —
     the ablation sweep actually sweeps something."""
@@ -150,6 +152,7 @@ def test_individual_cfg_scales_differ():
 
 # -- texture seeding from an image (guide.initial_texture) --------------------
 
+@pytest.mark.slow
 def test_fit_texture_to_image(tiny_mesh_obj):
     from contexture_nerf_tpu.core.config import GuideConfig
     from contexture_nerf_tpu.models.textured_mesh import TexturedMeshModel

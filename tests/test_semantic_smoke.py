@@ -6,6 +6,9 @@ for why a random tiny VAE encoder cannot support a pixel-space claim)."""
 from pathlib import Path
 
 from tools.semantic_smoke import run
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compiles; excluded from the core gate
 
 
 def test_sphere_turns_red(tmp_path):

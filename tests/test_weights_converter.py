@@ -30,6 +30,7 @@ def _tree_shapes(tree):
     return {jax.tree_util.keystr(k): v.shape for k, v in flat}
 
 
+@pytest.mark.slow
 def test_unet_converter_structure_and_apply(rng):
     cfg = UNetConfig.tiny()
     unet = UNet2DCondition(cfg)
@@ -52,6 +53,7 @@ def test_vae_converter_structure(rng):
     assert _tree_shapes(converted) == _tree_shapes(ref)
 
 
+@pytest.mark.slow
 def test_controlnet_converter_structure_and_apply(rng):
     cfg = UNetConfig.tiny()
     cn = ControlNet(cfg)
