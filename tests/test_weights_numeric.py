@@ -289,13 +289,14 @@ def test_downsample_padding_matches_torch():
 
 
 class TCLIPAttn(tnn.Module):
-    def __init__(self, hidden, heads):
+    def __init__(self, hidden, heads, causal=True):
         super().__init__()
         self.q_proj = tnn.Linear(hidden, hidden)
         self.k_proj = tnn.Linear(hidden, hidden)
         self.v_proj = tnn.Linear(hidden, hidden)
         self.out_proj = tnn.Linear(hidden, hidden)
         self.heads, self.scale = heads, (hidden // heads) ** -0.5
+        self.causal = causal
 
     def forward(self, x):
         B, S, C = x.shape
@@ -305,8 +306,10 @@ class TCLIPAttn(tnn.Module):
 
         logits = (sp(self.q_proj(x)) @ sp(self.k_proj(x)).transpose(-1, -2)
                   * self.scale)
-        logits = logits + torch.triu(
-            torch.full((S, S), torch.finfo(torch.float32).min), diagonal=1)
+        if self.causal:
+            logits = logits + torch.triu(
+                torch.full((S, S), torch.finfo(torch.float32).min),
+                diagonal=1)
         o = (torch.softmax(logits, -1) @ sp(self.v_proj(x))
              ).transpose(1, 2).reshape(B, S, C)
         return self.out_proj(o)
@@ -323,10 +326,10 @@ class TCLIPMLP(tnn.Module):
 
 
 class TCLIPLayer(tnn.Module):
-    def __init__(self, hidden, heads, inter):
+    def __init__(self, hidden, heads, inter, causal=True):
         super().__init__()
         self.layer_norm1 = tnn.LayerNorm(hidden)
-        self.self_attn = TCLIPAttn(hidden, heads)
+        self.self_attn = TCLIPAttn(hidden, heads, causal=causal)
         self.layer_norm2 = tnn.LayerNorm(hidden)
         self.mlp = TCLIPMLP(hidden, inter)
 
