@@ -228,8 +228,9 @@ class StableDiffusionDepth:
                 guidance_scale, key):
             # rgb: (1,3,S,S) in [0,1]; depth: (1,1,S,S); update_mask (1,1,S,S)
             k_enc, k_enc2, k_lat, k_noise = jax.random.split(key, 4)
-            depth64 = jax.image.resize(depth, (1, 1, lat_sz, lat_sz),
-                                       method="bicubic")
+            depth64 = (depth if depth.shape[2:] == (lat_sz, lat_sz) else
+                       jax.image.resize(depth, (1, 1, lat_sz, lat_sz),
+                                        method="bicubic"))
             dmin = depth64.min()
             dmax = depth64.max()
             depth64 = 2.0 * (depth64 - dmin) / jnp.maximum(dmax - dmin,
@@ -318,6 +319,15 @@ class StableDiffusionDepth:
             else 64
         rgb = jax.image.resize(
             inputs, (1, 3, image_size, image_size), method="linear")
+        # resize depth to the latent size OUTSIDE the jit (same single
+        # bicubic the reference does at :524 — numerics identical) so the
+        # traced graph is static in the data-dependent bbox-crop shape:
+        # repaint passes with different crops reuse one compiled graph, and
+        # tools/warmup_cache.py can pre-compile it
+        vae_down = 2 ** (len(self.vae_config.block_out_channels) - 1)
+        lat_sz = image_size // vae_down
+        depth_mask = jax.image.resize(depth_mask, (1, 1, lat_sz, lat_sz),
+                                      method="bicubic")
         if update_mask is None:
             update_mask = jnp.ones((1, 1, image_size, image_size))
         else:

@@ -535,7 +535,12 @@ class Zero123PlusPipeline:
 
                     def inpaint_branch(lat):
                         # 9-ch [latents, mask, masked latents] x2 for CFG,
-                        # empty-prompt/cond prompt pair as ehs already is
+                        # empty-prompt/cond prompt pair as ehs already is.
+                        # scale_model_input is applied to the WHOLE 9-ch
+                        # concat — including mask and masked latents —
+                        # mirroring the reference exactly (:678-682), even
+                        # though standard inpaint pipelines scale only the
+                        # latent channels.
                         nine = jnp.concatenate([lat, mask, masked_lat],
                                                axis=1)
                         nine = euler.scale_model_input(

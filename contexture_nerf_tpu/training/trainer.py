@@ -1302,6 +1302,11 @@ class ConTEXTure:
         from PIL import Image
 
         pending = deque()
+        # steady per-frame eval rate, compile excluded: window from the
+        # first chunk's materialization (which absorbs the eval-render
+        # compile) to the last — bench.project_full_run uses the resulting
+        # window_iter_ms so the one-time compile is not charged per pose
+        win = {"t_first": None, "frames": 0}
 
         def drain_one():
             start, pq, bad = pending.popleft()
@@ -1310,6 +1315,10 @@ class ConTEXTure:
                     "Tensor contains NaNs or infinite values "
                     f"(eval frames {start}..{start + chunk - 1})")
             arr = np.asarray(pq)
+            if win["t_first"] is None:
+                win["t_first"] = time.perf_counter()
+            else:
+                win["frames"] += min(chunk, n - start)
             for j in range(min(chunk, n - start)):
                 i = start + j
                 if save_as_video:
@@ -1329,10 +1338,13 @@ class ConTEXTure:
                 if hasattr(a, "copy_to_host_async"):
                     a.copy_to_host_async()
             pending.append((start, pq, bad))
-            if len(pending) > self._EVAL_INFLIGHT:
+            if len(pending) >= self._EVAL_INFLIGHT:
                 drain_one()
         while pending:
             drain_one()
+        if win["t_first"] is not None and win["frames"] > 0:
+            profiler.GLOBAL_TIMINGS.note_window(
+                "eval", win["frames"], time.perf_counter() - win["t_first"])
         Image.fromarray(tensor2numpy(texture[0])).save(
             save_path / "eval_texture_atlas.png")
         if save_as_video and all_preds:

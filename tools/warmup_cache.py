@@ -52,21 +52,23 @@ def main(argv):
     print(f"[warmup] trainer init {time.perf_counter() - t0:.1f} s",
           flush=True)
 
-    # 1. bootstrap img2img scan — same static signature paint_viewpoint uses
-    #    (trainer.py img2img_step call site)
+    # 1. bootstrap img2img scan — same static signature paint_viewpoint's
+    #    bootstrap uses: paint_step==1 forces use_inpaint=False
+    #    (trainer.py:1188), depth arrives pre-resized to the latent size
+    #    (img2img_step), rgb/update_mask at image_size
     sd = trainer.diffusion
     image_size = 512 if sd.unet_config.block_out_channels[0] >= 320 else 64
-    sig = (50, image_size, sd.use_inpaint, False,
-           bool(cfg.log.vis_diffusion_steps))
+    sig = (50, image_size, False, False, bool(cfg.log.vis_diffusion_steps))
     t0 = time.perf_counter()
     fn = sd._jit_cache.get(sig)
     if fn is None:
-        fn = sd._build_img2img(*sig)
+        fn = sd._build_img2img(*sig)  # use_inpaint is the sig param
         sd._jit_cache[sig] = fn
     S = image_size
+    lat_sz = S // 2 ** (len(sd.vae_config.block_out_channels) - 1)
     ctx = jnp.zeros((2, 77, sd.unet_config.cross_attention_dim))
     fn.lower(sd.params, ctx, jnp.zeros((1, 3, S, S)),
-             jnp.zeros((1, 1, S, S)), jnp.zeros((1, 1, S, S)),
+             jnp.zeros((1, 1, lat_sz, lat_sz)), jnp.zeros((1, 1, S, S)),
              jnp.asarray(0.0), jax.random.PRNGKey(0)).compile()
     print(f"[warmup] bootstrap img2img ({sig}) "
           f"{time.perf_counter() - t0:.1f} s", flush=True)
