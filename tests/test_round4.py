@@ -263,3 +263,44 @@ def test_tp_step_hlo_has_tower_collectives(sphere_obj_r4, tmp_path):
     assert ("all-reduce" in low) or ("reduce-scatter" in low)
     gathers = _allgather_bytes(low)
     assert max(gathers) <= 2 * 2 ** 20, max(gathers)
+
+
+# ---------------------------------------------------------------------------
+# round-4 review fixes: static bootstrap graph + warmup tool
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_img2img_graph_is_crop_shape_independent():
+    """The bootstrap's bbox crop is data-dependent; img2img_step must
+    normalize every input to static shapes BEFORE the jit so different
+    crops reuse ONE traced graph (review fix: depth was passed at crop
+    size and re-traced/recompiled per bbox, defeating the cache)."""
+    from contexture_nerf_tpu.diffusion.sd_depth import StableDiffusionDepth
+
+    sd = StableDiffusionDepth(tiny=True, use_inpaint=False, seed=0)
+    emb = jnp.zeros((2, 77, sd.unet_config.cross_attention_dim))
+    for size in (40, 56):
+        rgb = jnp.ones((1, 3, size, size)) * 0.5
+        depth = jnp.ones((1, 1, size, size)) * 0.3
+        img, _ = sd.img2img_step(emb, rgb, depth, num_inference_steps=2,
+                                 fixed_seed=0)
+        assert img.shape[-1] == img.shape[-2]
+    assert len(sd._jit_cache) == 1
+    jitted = next(iter(sd._jit_cache.values()))
+    assert jitted._cache_size() == 1, (
+        f"{jitted._cache_size()} traces for 2 crop sizes — the graph "
+        "depends on the data-dependent crop shape")
+
+
+@pytest.mark.slow
+def test_warmup_cache_tool_runs(tmp_path, monkeypatch):
+    """tools/warmup_cache.py compiles the hot graphs without running the
+    pipeline (tiny towers via CTN_WARMUP_TINY)."""
+    import tools.warmup_cache as wc
+
+    monkeypatch.setenv("CTN_WARMUP_TINY", "1")
+    wc.main([f"--config_path=configs/text_guided/spot_quick_test.yaml",
+             "--log.exp_name=warmup_ut", f"--log.exp_root={tmp_path}",
+             "--render.train_grid_size=48", "--render.eval_grid_size=48",
+             "--guide.texture_resolution=16"])
