@@ -7,8 +7,9 @@ one-time PER GRAPH SHAPE thanks to the persistent compile cache
 (`~/.cache/ctnerf_jax`, shared with scripts/run_contexture.py and
 bench.py): this tool triggers every hot compile for a given config WITHOUT
 running the pipeline, so a production fleet can warm caches (or bake a
-cache image) before scheduling real paint jobs. A verify re-run measured
-the effect on the bootstrap alone: 148.4 s cold -> 39.7 s warm.
+cache image) before scheduling real paint jobs. Verify re-runs measured
+the bootstrap alone at 148-194 s cold vs 40-98 s warm (the residual is
+executable deserialization + upload through the tunnel).
 
 Graphs compiled: the 50-step img2img bootstrap (diffusion/sd_depth.py),
 the production SDS step (trainer._build_sds_step, including any
