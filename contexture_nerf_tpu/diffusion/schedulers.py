@@ -153,8 +153,12 @@ class EulerAncestral(NamedTuple):
                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         T = self.num_train_timesteps
         if self.timestep_spacing == "trailing":
-            ts = (jnp.arange(T, 0, -T / num_inference_steps) - 1
-                  ).round().astype(jnp.int32)
+            # diffusers rounds FIRST, then subtracts 1 — with half-to-even
+            # rounding the two orders diverge by +/-1 whenever
+            # T/num_inference_steps has a .5 fraction (e.g. 8/16 entries at
+            # n=16; r4 code review)
+            ts = jnp.arange(T, 0, -T / num_inference_steps
+                            ).round().astype(jnp.int32) - 1
         else:  # linspace
             ts = jnp.linspace(0, T - 1, num_inference_steps
                               )[::-1].round().astype(jnp.int32)

@@ -188,9 +188,12 @@ class StableDiffusionDepth:
             negative_prompts = [""] * len(prompts)
         ids = jnp.asarray(self.tokenizer(prompts))
         uids = jnp.asarray(self.tokenizer(negative_prompts))
-        apply = jax.jit(self.text_encoder.apply)
-        cond = apply(self.params["text"], ids)
-        uncond = apply(self.params["text"], uids)
+        # cache the jitted apply: a fresh jax.jit per call is keyed on a new
+        # function object and re-traces the text tower every prompt
+        if not hasattr(self, "_text_apply_jit"):
+            self._text_apply_jit = jax.jit(self.text_encoder.apply)
+        cond = self._text_apply_jit(self.params["text"], ids)
+        uncond = self._text_apply_jit(self.params["text"], uids)
         return jnp.concatenate([uncond, cond], axis=0)
 
     # -- VAE helpers ----------------------------------------------------------
@@ -211,14 +214,26 @@ class StableDiffusionDepth:
 
     def _build_img2img(self, num_inference_steps: int, image_size: int,
                        use_inpaint: bool, use_latent_blending: bool,
-                       intermediate_vis: bool = False):
+                       intermediate_vis: bool = False, strength: float = 1.0,
+                       noised_gt_init: bool = False):
         """Compile the full denoise loop once per static signature.
         intermediate_vis additionally decodes ~10 evenly-spaced intermediate
         latents from the scan (reference stable_diffusion_depth.py:501-511
         collects PIL frames per step; here the frames come out of the same
-        jitted graph)."""
+        jitted graph).
+
+        strength follows the reference's get_timesteps (:310): run the last
+        int(n*strength) scheduler steps. noised_gt_init mirrors the
+        reference's update_mask=None branch (:322-327): start from the
+        noised ground-truth latent at the first kept timestep instead of
+        pure noise (with an update mask the reference replaces the latent
+        with pure noise and keeps gt for blending — the default path here).
+        """
         pndm = self.scheduler
-        timesteps = pndm.timesteps(num_inference_steps)
+        init_t = min(int(num_inference_steps * strength),
+                     num_inference_steps)
+        t_start = max(num_inference_steps - init_t, 0)
+        timesteps = pndm.timesteps(num_inference_steps)[t_start:]
         vae_down = 2 ** (len(self.vae_config.block_out_channels) - 1)
         lat_sz = image_size // vae_down
         inpaint_on = use_inpaint and self.inpaint_unet is not None
@@ -237,15 +252,26 @@ class StableDiffusionDepth:
                                                            1e-8) - 1.0
             depth_pair = jnp.concatenate([depth64] * 2)
 
-            gt_latents = self.encode_imgs(rgb, k_enc)
-            latents = jax.random.normal(k_lat, gt_latents.shape)
+            # VAE weights come from the params ARGUMENT (the closure methods
+            # read self.params at trace time, which would bake stale weights
+            # into the cached graph after a reload; r4 code review)
+            def enc(imgs, k):
+                mean, logvar = self.vae.apply(params["vae"], 2 * imgs - 1,
+                                              method=self.vae.encode_moments)
+                return sample_gaussian(mean, logvar, k) * SD_VAE_SCALE
+
+            gt_latents = enc(rgb, k_enc)
             noise = jax.random.normal(k_noise, gt_latents.shape)
+            if noised_gt_init:
+                latents = pndm.add_noise(gt_latents, noise, timesteps[0])
+            else:
+                latents = jax.random.normal(k_lat, gt_latents.shape)
 
             mask_small = jax.image.resize(
                 update_mask, (1, 1, image_size, image_size), method="nearest")
             masked_inputs = (rgb * (mask_small < 0.5)
                              + 0.5 * (mask_small >= 0.5))
-            masked_latents = self.encode_imgs(masked_inputs, k_enc2)
+            masked_latents = enc(masked_inputs, k_enc2)
             mask_lat = jax.image.resize(update_mask, (1, 1, lat_sz, lat_sz),
                                         method="nearest")
 
@@ -292,16 +318,21 @@ class StableDiffusionDepth:
                 ys = latents if intermediate_vis else None
                 return (latents, state), ys
 
+            def dec(lat):
+                imgs = self.vae.apply(params["vae"], lat / SD_VAE_SCALE,
+                                      method=self.vae.decode)
+                return jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
+
             idx = jnp.arange(timesteps.shape[0])
             (latents, _), inters = jax.lax.scan(step_fn, (latents, state),
                                                 (timesteps, idx))
             if intermediate_vis:
                 sel = np.linspace(0, timesteps.shape[0] - 1,
                                   n_vis).astype(np.int32)
-                inter_imgs = jax.lax.map(self.decode_latents, inters[sel])
+                inter_imgs = jax.lax.map(dec, inters[sel])
             else:
                 inter_imgs = jnp.zeros((0,))
-            return self.decode_latents(latents), latents, inter_imgs
+            return dec(latents), latents, inter_imgs
 
         return jax.jit(run)
 
@@ -314,7 +345,9 @@ class StableDiffusionDepth:
         """Depth-conditioned img2img (reference img2img_step,
         stable_diffusion_depth.py:284-578). inputs/depth/update_mask are
         (1,C,H,W) crops at arbitrary square size; resized to 512 internally.
-        Returns ([0,1] rgb at 512^2, intermediates list)."""
+        strength runs only the last int(50*strength) scheduler steps
+        (reference get_timesteps, :310); the live reference call site uses
+        1.0. Returns ([0,1] rgb at 512^2, intermediates list)."""
         image_size = 512 if self.unet_config.block_out_channels[0] >= 320 \
             else 64
         rgb = jax.image.resize(
@@ -328,13 +361,18 @@ class StableDiffusionDepth:
         lat_sz = image_size // vae_down
         depth_mask = jax.image.resize(depth_mask, (1, 1, lat_sz, lat_sz),
                                       method="bicubic")
+        # reference :322-327: with an update mask the latent starts from
+        # pure noise (gt kept for blending); without one it starts from the
+        # gt noised to the first kept timestep
+        noised_gt_init = update_mask is None
         if update_mask is None:
             update_mask = jnp.ones((1, 1, image_size, image_size))
         else:
             update_mask = jax.image.resize(
                 update_mask, (1, 1, image_size, image_size), method="nearest")
         sig = (num_inference_steps, image_size, self.use_inpaint,
-               use_latent_blending, intermediate_vis)
+               use_latent_blending, intermediate_vis, float(strength),
+               noised_gt_init)
         if sig not in self._jit_cache:
             self._jit_cache[sig] = self._build_img2img(*sig)
         key = jax.random.PRNGKey(0 if fixed_seed is None else fixed_seed)

@@ -171,7 +171,8 @@ class Zero123PlusPipeline:
         if wp.ramping_coefficients:
             import json
 
-            data = json.load(open(wp.ramping_coefficients))
+            with open(wp.ramping_coefficients) as f:
+                data = json.load(f)
             if isinstance(data, dict):
                 # Zero123++ snapshots carry the coefficients in
                 # model_index.json; a generic diffusers export won't have
@@ -473,7 +474,7 @@ class Zero123PlusPipeline:
         latent_renders_grid / masked_input_latents: (1,4,h,w) SCALED latents
         (scale_latents domain, like the loop's own)."""
         key = jax.random.PRNGKey(0) if key is None else key
-        k_cond, k_lat, k_loop = jax.random.split(key, 3)
+        k_cond, k_loop = jax.random.split(key)
         cond_lat_pair, ehs = self.prepare_conditioning(cond_image, k_cond)
 
         if use_inpaint and getattr(self, "inpaint_unet", None) is None:
@@ -568,7 +569,8 @@ class Zero123PlusPipeline:
                 (lat, _), _ = jax.lax.scan(
                     body, (lat, key), (ts, jnp.arange(n_steps)))
                 lat = unscale_latents(lat)
-                img = self.vae.apply(params["vae"], lat / VAE_SCALE,
+                img = self.vae.apply(params["vae"],
+                                     lat / self.vae_config.scaling_factor,
                                      method=self.vae.decode)
                 img = unscale_image(img)
                 return jnp.clip(img / 2 + 0.5, 0.0, 1.0)

@@ -138,6 +138,14 @@ class ConTEXTure:
     def _init_logger(self):
         logging.basicConfig(level=logging.INFO,
                             format="%(asctime)s %(message)s")
+        # the module logger is shared: drop handlers left by earlier
+        # trainers (sweeps/tests construct many per process) or every later
+        # line would also be written into every earlier run's log.txt and
+        # the descriptors would leak (r4 code review)
+        for h in list(logger.handlers):
+            if isinstance(h, logging.FileHandler):
+                logger.removeHandler(h)
+                h.close()
         fh = logging.FileHandler(self.exp_path / "log.txt")
         logger.addHandler(fh)
 
@@ -351,6 +359,19 @@ class ConTEXTure:
     # -- main ----------------------------------------------------------------
 
     def paint(self):
+        # The reference's paint() hardwires paint_zero123plus too
+        # (trainer.py:367-368) and initializes the Zero123++ pipeline
+        # unconditionally; use_zero123plus=False only switches text
+        # embeddings/dataloaders there and has NO live paint path. We gate
+        # pipeline construction on the flag (HBM), so fail loudly instead of
+        # with an AttributeError deep in prepare_sds (r4 code review).
+        if not self.cfg.guide.use_zero123plus:
+            raise ValueError(
+                "guide.use_zero123plus=False has no live paint path (the "
+                "reference's paint() also runs the Zero123++ SDS loop "
+                "unconditionally, reference trainer.py:367); set it to "
+                "true, or use StableDiffusionDepth.img2img_step/sds_grad "
+                "directly for single-view guidance")
         self.paint_zero123plus()
 
     def prepare_sds(self, skip_bootstrap: bool = False) -> Dict[str, Any]:
@@ -1149,7 +1170,11 @@ class ConTEXTure:
 
     def paint_viewpoint(self, data: Dict[str, Any],
                         should_project_back: bool = True):
-        """(reference trainer.py:971-1117)"""
+        """(reference trainer.py:971-1117). should_project_back is kept for
+        signature parity but is DEAD, exactly as in the reference: its
+        consumer `project_back` is undefined there (trainer.py:1081-1086,
+        documented non-port in PARITY.md) and the one live call site passes
+        False (reference trainer.py:559)."""
         self.paint_step += 1
         logger.info(f"--- Painting step #{self.paint_step} ---")
         theta, phi, radius = data["theta"], data["phi"], data["radius"]

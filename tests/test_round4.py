@@ -304,3 +304,58 @@ def test_warmup_cache_tool_runs(tmp_path, monkeypatch):
              "--log.exp_name=warmup_ut", f"--log.exp_root={tmp_path}",
              "--render.train_grid_size=48", "--render.eval_grid_size=48",
              "--guide.texture_resolution=16"])
+
+
+@pytest.mark.slow
+def test_img2img_strength_truncates_schedule():
+    """strength runs only the last int(n*strength) scheduler steps
+    (reference get_timesteps, stable_diffusion_depth.py:310) and
+    update_mask=None starts from the noised gt latent (:322-327)."""
+    from contexture_nerf_tpu.diffusion.sd_depth import StableDiffusionDepth
+
+    sd = StableDiffusionDepth(tiny=True, use_inpaint=False, seed=0)
+    emb = jnp.zeros((2, 77, sd.unet_config.cross_attention_dim))
+    rgb = jnp.ones((1, 3, 48, 48)) * 0.5
+    depth = jnp.ones((1, 1, 48, 48)) * 0.3
+
+    full, _ = sd.img2img_step(emb, rgb, depth, num_inference_steps=4,
+                              fixed_seed=0)
+    half, _ = sd.img2img_step(emb, rgb, depth, num_inference_steps=4,
+                              strength=0.5, fixed_seed=0)
+    assert not np.array_equal(np.asarray(full), np.asarray(half))
+    # distinct static signatures -> two cached graphs
+    sigs = list(sd._jit_cache)
+    assert {s[5] for s in sigs} == {1.0, 0.5}
+
+    # `half` (update_mask=None) used the noised-gt init; an explicit
+    # all-ones mask selects the pure-noise init at the same strength and
+    # must differ (reference :322-327 branch)
+    noise_init, _ = sd.img2img_step(emb, rgb, depth, num_inference_steps=4,
+                                    strength=0.5, fixed_seed=0,
+                                    update_mask=jnp.ones((1, 1, 48, 48)))
+    assert not np.array_equal(np.asarray(half), np.asarray(noise_init))
+
+
+@pytest.mark.slow
+def test_paint_requires_zero123plus(tmp_path):
+    """guide.use_zero123plus=False has no live paint path (the reference's
+    paint() also hardwires the Zero123++ loop, trainer.py:367) — paint()
+    must fail loudly, not with an AttributeError deep in prepare_sds."""
+    from contexture_nerf_tpu.core.config import config_from_dict
+    from contexture_nerf_tpu.training.trainer import ConTEXTure
+    from tools.make_shapes import uv_sphere, write_obj
+
+    p = tmp_path / "s.obj"
+    write_obj(p, *uv_sphere(8, 12))
+    cfg = config_from_dict({
+        "log": {"exp_name": "noz123", "exp_root": str(tmp_path),
+                "eval_size": 1, "full_eval_size": 1, "log_images": False,
+                "save_mesh": False},
+        "render": {"train_grid_size": 48, "eval_grid_size": 48},
+        "guide": {"text": "a test", "shape_path": str(p),
+                  "texture_resolution": 16, "use_zero123plus": False},
+        "optim": {"seed": 0, "sds_iterations": 1},
+    })
+    tr = ConTEXTure(cfg, tiny_models=True, backend="xla")
+    with pytest.raises(ValueError, match="use_zero123plus"):
+        tr.paint()

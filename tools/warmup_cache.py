@@ -59,7 +59,8 @@ def main(argv):
     #    (img2img_step), rgb/update_mask at image_size
     sd = trainer.diffusion
     image_size = 512 if sd.unet_config.block_out_channels[0] >= 320 else 64
-    sig = (50, image_size, False, False, bool(cfg.log.vis_diffusion_steps))
+    sig = (50, image_size, False, False, bool(cfg.log.vis_diffusion_steps),
+           1.0, False)  # strength=1.0, update_mask given (paint_viewpoint)
     t0 = time.perf_counter()
     fn = sd._jit_cache.get(sig)
     if fn is None:
