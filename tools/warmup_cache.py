@@ -69,9 +69,14 @@ def main(argv):
     S = image_size
     lat_sz = S // 2 ** (len(sd.vae_config.block_out_channels) - 1)
     ctx = jnp.zeros((2, 77, sd.unet_config.cross_attention_dim))
+    # avals must match the production call EXACTLY or the persistent-cache
+    # key differs: jnp.asarray(0.0) is WEAK-typed f32 while img2img_step
+    # passes a strong f32 scalar — that one bit changed the traced HLO and
+    # made every cross-process warmup miss (observed: four distinct 362 MB
+    # jit_run cache entries for the same graph)
     fn.lower(sd.params, ctx, jnp.zeros((1, 3, S, S)),
              jnp.zeros((1, 1, lat_sz, lat_sz)), jnp.zeros((1, 1, S, S)),
-             jnp.asarray(0.0), jax.random.PRNGKey(0)).compile()
+             jnp.asarray(0.0, jnp.float32), jax.random.PRNGKey(0)).compile()
     print(f"[warmup] bootstrap img2img ({sig}) "
           f"{time.perf_counter() - t0:.1f} s", flush=True)
 
