@@ -359,3 +359,19 @@ def test_paint_requires_zero123plus(tmp_path):
     tr = ConTEXTure(cfg, tiny_models=True, backend="xla")
     with pytest.raises(ValueError, match="use_zero123plus"):
         tr.paint()
+
+
+def test_euler_trailing_timesteps_match_diffusers_rounding():
+    """diffusers EulerAncestralDiscreteScheduler 'trailing' rounds BEFORE
+    subtracting 1; with half-to-even rounding the orders diverge by +/-1
+    whenever T/n has a .5 fraction (r4 review fix — 8/16 entries at n=16).
+    Pinned against np.arange(T,0,-T/n).round()-1 computed independently."""
+    from contexture_nerf_tpu.diffusion import schedulers as sch
+
+    euler = sch.EulerAncestral.create()
+    ts16, _ = euler.timesteps_and_sigmas(16)
+    np.testing.assert_array_equal(
+        np.asarray(ts16[:8]), [999, 937, 874, 811, 749, 687, 624, 561])
+    ts28, _ = euler.timesteps_and_sigmas(28)
+    np.testing.assert_array_equal(
+        np.asarray(ts28[:8]), [999, 963, 928, 892, 856, 820, 785, 749])
