@@ -245,7 +245,7 @@ def test_view_consistency_jittable():
     # /root/reference/configs/text_guided/ are covered
     "astronaut", "beachball", "mickey", "spiderman", "spongebob",
     "napoleon_zero123plus_max_z_normals", "napoleon_zero123plus_weight_mask",
-    "spiderman_zero123plus_max_z_normals",
+    "nascar_zero123plus", "spiderman_zero123plus_max_z_normals",
     "spiderman_zero123plus_weight_mask"])
 def test_shipped_configs_resolve_and_build(cfg_name, tmp_path, monkeypatch):
     """Every shipped YAML parses, its mesh resolves (procedural stand-in
