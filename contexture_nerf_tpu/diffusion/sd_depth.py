@@ -24,6 +24,8 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+
+from contexture_nerf_tpu.core.fastinit import maybe_jit_init
 import numpy as np
 
 from contexture_nerf_tpu.diffusion import schedulers as sch
@@ -150,7 +152,7 @@ class StableDiffusionDepth:
             params["unet"] = self._cast(W.convert_unet(W.load_state_dict(wp.unet),
                                             self.unet_config))
         else:
-            params["unet"] = self._cast(jax.jit(self.unet.init)(
+            params["unet"] = self._cast(maybe_jit_init(self.unet.init, 
                 ks[0], jnp.zeros((1, self.unet_config.in_channels, lat_res,
                                   lat_res)),
                 jnp.array([0]), jnp.zeros((1, 77, ctx_dim))))
@@ -160,20 +162,20 @@ class StableDiffusionDepth:
                     W.load_state_dict(wp.inpaint_unet), self.inpaint_config))
             else:
                 params["inpaint_unet"] = self._cast(
-                    jax.jit(self.inpaint_unet.init)(
+                    maybe_jit_init(self.inpaint_unet.init, 
                         ks[1], jnp.zeros((1, 9, lat_res, lat_res)),
                         jnp.array([0]), jnp.zeros((1, 77, ctx_dim))))
         if wp.vae:
             params["vae"] = self._cast(W.convert_vae(W.load_state_dict(wp.vae),
                                           self.vae_config))
         else:
-            params["vae"] = self._cast(jax.jit(self.vae.init)(
+            params["vae"] = self._cast(maybe_jit_init(self.vae.init, 
                 ks[2], jnp.zeros((1, 3, 8 * lat_res, 8 * lat_res)), ks[2]))
         if wp.text_encoder:
             params["text"] = self._cast(W.convert_clip_text(
                 W.load_state_dict(wp.text_encoder), self.text_config))
         else:
-            params["text"] = self._cast(jax.jit(self.text_encoder.init)(
+            params["text"] = self._cast(maybe_jit_init(self.text_encoder.init, 
                 ks[3], jnp.zeros((1, 77), jnp.int32)))
         return params
 

@@ -16,6 +16,10 @@ if not os.environ.get("RUN_TPU_TESTS"):
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8"
                            + " --xla_backend_optimization_level=0")
+# random-weight tiny towers init via eval_shape + numpy fill instead of a
+# ~10 s XLA init compile per tower (core/fastinit.py); distribution is
+# irrelevant to every test that uses tiny=True towers
+os.environ.setdefault("CTN_FAST_TINY_INIT", "1")
 
 import jax  # noqa: E402
 

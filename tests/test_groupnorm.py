@@ -28,8 +28,11 @@ def _flax_gn_silu(x, scale, bias, groups, eps, act, out_dtype):
 
 CASES = [
     # (B, HW, C, act, dtype) — teacher resnet shapes incl. the non-16-mult
-    # 150-row bottom block and a tail-padded odd length
-    (2, 9600, 320, True, jnp.bfloat16),
+    # 150-row bottom block and a tail-padded odd length; the full 9600-row
+    # production shape is slow-marked (5+ s on the 1-core CI host), the
+    # smaller cases cover the same kernel paths in the core gate
+    pytest.param(2, 9600, 320, True, jnp.bfloat16,
+                 marks=pytest.mark.slow),
     (2, 150, 1280, True, jnp.bfloat16),
     (1, 600, 64, False, jnp.float32),
     (2, 777, 256, True, jnp.float32),

@@ -119,6 +119,7 @@ def test_view_weights_winner_takes_pixel():
     assert w[1, 0, 2:].all()       # background stays True
 
 
+@pytest.mark.slow
 def test_view_consistency_identical_views():
     """Two identical views of one face: consistency should be ~1."""
     from contexture_nerf_tpu.ops.view_consistency import (

@@ -333,7 +333,8 @@ def test_explicit_tp_without_mesh_raises(sphere_obj, tmp_path):
 # ---------------------------------------------------------------------------
 
 @pytest.mark.slow
-def test_sds_converges_to_constructed_teacher_target(sphere_obj, tmp_path):
+def test_sds_converges_to_constructed_teacher_target(sphere_obj, tmp_path,
+                                                     monkeypatch):
     """A 'trained-by-construction' teacher whose v-prediction is exactly the
     velocity consistent with a fixed target latent must pull the student's
     grid latent toward that target: v_pred - v = (z - z_tgt)/sqrt(1-acp_t),
@@ -343,8 +344,18 @@ def test_sds_converges_to_constructed_teacher_target(sphere_obj, tmp_path):
     weight quality."""
     import optax
 
+    # plumbing test, not reference hyperparams; pins the EXACT-gradient
+    # (parity) path explicitly — monotone contraction is its contract, and
+    # the r5 tile-local default clips boundary-cell gradients on this tiny
+    # 48-px grid (the local-grad equivalence itself is covered at margin
+    # limits by tests/test_local_grad.py)
     cfg = _tiny_cfg(sphere_obj, tmp_path, "semantic", iters=1,
-                    sds_lr=2e-3)  # plumbing test, not reference hyperparams
+                    sds_lr=2e-3, local_sds_grad=False)
+    # real flax init for the tiny VAE: the contraction floor this smoke
+    # asserts against depends on the encoder's init distribution, which the
+    # conftest's fast-init fill (core/fastinit.py) deliberately does not
+    # reproduce
+    monkeypatch.delenv("CTN_FAST_TINY_INIT", raising=False)
     tr = ConTEXTure(cfg, tiny_models=True, backend="xla")
     setup = tr.prepare_sds(skip_bootstrap=True)
     pipe = tr.zero123plus

@@ -72,6 +72,7 @@ def test_blending_mask_zeros_pins_output_to_renders(pipe):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_blending_mask_is_spatially_selective(pipe):
     """The renders grid only ever enters the loop multiplied by (1-mask)
     (pre-step blend AND final blend, reference :660,707) — so changing its
@@ -144,12 +145,21 @@ def test_generate_extension_arg_validation(pipe):
         pipe.generate(cond, depth, num_inference_steps=2, height=H, width=W,
                       use_blending=True,
                       latent_mask_grid=jnp.ones((1, 1) + _lat_shape(pipe)[2:]))
-    fresh = Zero123PlusPipeline(tiny=True, seed=1)
-    with pytest.raises(ValueError, match="attach_inpaint_unet"):
-        fresh.generate(cond, depth, num_inference_steps=2, height=H, width=W,
-                       use_inpaint=True,
-                       latent_mask_grid=jnp.ones((1, 1) + _lat_shape(pipe)[2:]),
-                       masked_input_latents=jnp.zeros(_lat_shape(pipe)))
+    # the missing-inpaint error must fire on a pipeline WITHOUT an attached
+    # inpaint UNet; detach/restore instead of constructing a second pipeline
+    # (a fresh tiny-tower init costs ~10 s on the 1-core CI host)
+    saved = getattr(pipe, "inpaint_unet", None), \
+        getattr(pipe, "inpaint_params", None)
+    pipe.inpaint_unet = pipe.inpaint_params = None
+    try:
+        with pytest.raises(ValueError, match="attach_inpaint_unet"):
+            pipe.generate(cond, depth, num_inference_steps=2, height=H,
+                          width=W, use_inpaint=True,
+                          latent_mask_grid=jnp.ones(
+                              (1, 1) + _lat_shape(pipe)[2:]),
+                          masked_input_latents=jnp.zeros(_lat_shape(pipe)))
+    finally:
+        pipe.inpaint_unet, pipe.inpaint_params = saved
 
 
 # ---------------------------------------------------------------------------
