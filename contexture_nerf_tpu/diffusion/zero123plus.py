@@ -29,6 +29,8 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from contexture_nerf_tpu.core.fastinit import maybe_jit_init
 import numpy as np
 
 from contexture_nerf_tpu.diffusion import schedulers as sch
@@ -221,33 +223,33 @@ class Zero123PlusPipeline:
             params["unet"] = self._cast(W.convert_unet(W.load_state_dict(wp.unet),
                                             self.unet_config))
         else:
-            params["unet"] = self._cast(jax.jit(self.unet.init)(ks[0], lat,
+            params["unet"] = self._cast(maybe_jit_init(self.unet.init, ks[0], lat,
                                                      jnp.array([0]), emb))
         if wp.controlnet:
             params["controlnet"] = self._cast(W.convert_controlnet(
                 W.load_state_dict(wp.controlnet), self.unet_config))
         else:
-            params["controlnet"] = self._cast(jax.jit(self.controlnet.init)(
+            params["controlnet"] = self._cast(maybe_jit_init(self.controlnet.init, 
                 ks[1], lat, jnp.array([0]), emb,
                 jnp.zeros((1, 3, 24 * 8, 16 * 8))))
         if wp.vae:
             params["vae"] = self._cast(W.convert_vae(W.load_state_dict(wp.vae),
                                           self.vae_config))
         else:
-            params["vae"] = self._cast(jax.jit(self.vae.init)(
+            params["vae"] = self._cast(maybe_jit_init(self.vae.init, 
                 ks[2], jnp.zeros((1, 3, 64, 64)), ks[2]))
         if wp.text_encoder:
             params["text"] = self._cast(W.convert_clip_text(
                 W.load_state_dict(wp.text_encoder), self.text_config))
         else:
-            params["text"] = self._cast(jax.jit(self.text_encoder.init)(
+            params["text"] = self._cast(maybe_jit_init(self.text_encoder.init, 
                 ks[3], jnp.zeros((1, 77), jnp.int32)))
         if wp.vision_encoder:
             params["vision"] = self._cast(W.convert_clip_vision(
                 W.load_state_dict(wp.vision_encoder), self.vision_config))
         else:
             sz = self.vision_config.image_size
-            params["vision"] = self._cast(jax.jit(self.vision_encoder.init)(
+            params["vision"] = self._cast(maybe_jit_init(self.vision_encoder.init, 
                 ks[4], jnp.zeros((1, 3, sz, sz))))
         return params
 
@@ -473,10 +475,6 @@ class Zero123PlusPipeline:
         latent_mask_grid: (1,1,h,w) latent-resolution mask, 1 = generate.
         latent_renders_grid / masked_input_latents: (1,4,h,w) SCALED latents
         (scale_latents domain, like the loop's own)."""
-        key = jax.random.PRNGKey(0) if key is None else key
-        k_cond, k_loop = jax.random.split(key)
-        cond_lat_pair, ehs = self.prepare_conditioning(cond_image, k_cond)
-
         if use_inpaint and getattr(self, "inpaint_unet", None) is None:
             raise ValueError("use_inpaint=True requires attach_inpaint_unet "
                              "(reference trainer.py:308)")
@@ -487,6 +485,10 @@ class Zero123PlusPipeline:
             raise ValueError("use_blending requires latent_renders_grid")
         if use_inpaint and masked_input_latents is None:
             raise ValueError("use_inpaint requires masked_input_latents")
+
+        key = jax.random.PRNGKey(0) if key is None else key
+        k_cond, k_loop = jax.random.split(key)
+        cond_lat_pair, ehs = self.prepare_conditioning(cond_image, k_cond)
 
         sig = ("gen", num_inference_steps, height, width, use_blending,
                use_inpaint)
