@@ -38,6 +38,24 @@ _MIN_SQ_PALLAS = 256
 # (trainer._build_sds_step does this when optim.sequence_parallel > 1).
 _SEQ_PARALLEL = {"mesh": None, "axis": "sp", "min_seq": 256}
 
+# Trace-time attention-call recorder (tools/mfu_attribution.py): while a list
+# is installed here, every attention() call appends its shape signature at
+# trace time, so the exact per-layer attention workload of a jitted graph can
+# be enumerated without parsing Pallas custom-calls out of HLO.
+_CALL_RECORDER = {"calls": None}
+
+
+@contextlib.contextmanager
+def record_attention_calls(out: list):
+    """Collect (B, H, Sq, Skv, Se, d, routed_pallas) tuples for every
+    attention() traced inside this context."""
+    prev = _CALL_RECORDER["calls"]
+    _CALL_RECORDER["calls"] = out
+    try:
+        yield out
+    finally:
+        _CALL_RECORDER["calls"] = prev
+
 
 @contextlib.contextmanager
 def sequence_parallel(mesh, axis: str = "sp", min_seq: int = 256):
@@ -64,18 +82,28 @@ def _ring_eligible(q, k, extra_k):
     return ok
 
 
-def _pick_blocks(sq: int) -> tuple:
+def _pick_blocks(sq: int, skv_max: int | None = None) -> tuple:
     """(q_blk, kv_blk) per sequence length, from the on-chip sweep (r3,
     chained-differenced timing at the real teacher shapes): large KV blocks
     dominate throughput at long sequences (1024/1024: 15.2 ms at the
     9.6k+9.6k ref-attn block vs 29.0 ms at 256/512); at short sequences the
     padding waste flips the ordering. 2048-wide blocks exceed the 16 MB
-    VMEM scoped limit."""
+    VMEM scoped limit.
+
+    kv_blk is additionally clamped to the (lane-aligned) longest KV source:
+    cross-attention runs 77 context tokens against image queries, and a
+    1024-wide KV block would pad those 77 to 1024 — 13x wasted MXU work and
+    HBM traffic per cross-attn layer (r5 fix, measured in
+    docs/mfu_r5.json)."""
     if sq >= 4800:
-        return 1024, 1024
-    if sq >= 1024:
-        return 512, 1024
-    return 256, 512
+        q_blk, kv_blk = 1024, 1024
+    elif sq >= 1024:
+        q_blk, kv_blk = 512, 1024
+    else:
+        q_blk, kv_blk = 256, 512
+    if skv_max is not None:
+        kv_blk = min(kv_blk, max(128, -(-skv_max // 128) * 128))
+    return q_blk, kv_blk
 
 
 def _online_update(q, k, v, col0, limit, acc_ref, m_ref, l_ref):
@@ -168,7 +196,7 @@ def flash_attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     scale = 1.0 / (d_in ** 0.5)
     has_extra = extra_k is not None
     Se = extra_k.shape[2] if has_extra else 0
-    q_blk, kv_blk = _pick_blocks(Sq)
+    q_blk, kv_blk = _pick_blocks(Sq, max(Skv, Se))
 
     def prep(x):
         # lane-align head_dim (zero-padding the contraction is exact)
@@ -249,13 +277,21 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     concat-KV, zero123plus.py:153): attended jointly with k/v. On the Pallas
     path they stream into the kernel as a second block source; the XLA
     fallback concatenates (mathematically identical)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if _CALL_RECORDER["calls"] is not None:
+        _CALL_RECORDER["calls"].append({
+            "B": q.shape[0], "H": q.shape[1], "Sq": q.shape[2],
+            "Skv": k.shape[2],
+            "Se": 0 if extra_k is None else extra_k.shape[2],
+            "d": q.shape[3], "dtype": str(q.dtype),
+            "pallas": bool(use_pallas and q.shape[2] >= _MIN_SQ_PALLAS),
+        })
     if _ring_eligible(q, k, extra_k):
         from contexture_nerf_tpu.parallel.ring import ring_attention
 
         return ring_attention(q, k, v, _SEQ_PARALLEL["mesh"],
                               _SEQ_PARALLEL["axis"], extra_k, extra_v)
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
     if use_pallas and q.shape[2] >= _MIN_SQ_PALLAS:
         return flash_attention_pallas(q, k, v, extra_k, extra_v)
     if extra_k is not None:

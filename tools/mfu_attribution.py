@@ -16,7 +16,15 @@ tool produces one, bottom-up:
      bottom-up and wall is scheduling/HBM/elementwise/attention (the Pallas
      flash kernel is a custom-call, benched separately).
 
-Writes docs/mfu_r4.json and prints a summary table.
+Round 5 (VERDICT r4 missing #1): attention joins the accounting. Every
+attention() call of the traced graph is recorded at trace time
+(ops/attention.py:record_attention_calls); the Pallas-path calls' FLOPs
+(4*B*H*Sq*(Skv+Se)*d — invisible to compiled.cost_analysis()) are added to
+the MFU denominator, each distinct shape is standalone-benched like the
+convs, and the output carries a category table (conv/dot + flash-attention +
+residual) against the wall clock.
+
+Writes docs/mfu_r5.json and prints a summary table.
 
 Usage:  python tools/mfu_attribution.py [--tiny]
 """
@@ -224,6 +232,61 @@ def bench_shape(op, reps=3, iters=2, scan_len=64):
     return med_ms / scan_len, None
 
 
+def attn_flops(call, padded: bool = False):
+    """FLOPs of one attention() call: 4*B*H*Sq*(Skv+Se)*d (QK^T + PV, factor
+    2 each). With padded=True, uses the shapes the Pallas kernel actually
+    feeds the MXU: d lane-aligned to 128, Sq/Skv/Se padded to their block
+    multiples (ops/attention.py:_pick_blocks / _pad_to)."""
+    B, H, sq, skv, se, d = (call["B"], call["H"], call["Sq"], call["Skv"],
+                            call["Se"], call["d"])
+    if padded:
+        from contexture_nerf_tpu.ops.attention import _pick_blocks
+        q_blk, kv_blk = _pick_blocks(sq, max(skv, se))
+        d = d + ((-d) % 128)
+        sq = sq + ((-sq) % q_blk)
+        skv = skv + ((-skv) % kv_blk)
+        se = se + ((-se) % kv_blk) if se else 0
+    return 4 * B * H * sq * (skv + se) * d
+
+
+def bench_attention_shape(call, reps=3, iters=2, scan_len=16):
+    """Standalone scan-harness bench of flash_attention_pallas at one
+    recorded call shape (same chained-dependency trick as bench_shape)."""
+    from contexture_nerf_tpu.ops.attention import flash_attention_pallas
+
+    dt = jnp.bfloat16 if "bfloat16" in call["dtype"] else jnp.float32
+    B, H, d = call["B"], call["H"], call["d"]
+    key = jax.random.PRNGKey(0)
+    mk = lambda s, k: jax.random.normal(k, (B, H, s, d), dt)
+    ks = jax.random.split(key, 5)
+    q = mk(call["Sq"], ks[0])
+    k = mk(call["Skv"], ks[1])
+    v = mk(call["Skv"], ks[2])
+    has_extra = call["Se"] > 0
+    ek = mk(call["Se"], ks[3]) if has_extra else None
+    ev = mk(call["Se"], ks[4]) if has_extra else None
+
+    def repeated(q, k, v, ek=None, ev=None):
+        def body(c, _):
+            q2 = q.at[(0, 0, 0, 0)].add(c.astype(q.dtype))
+            out = flash_attention_pallas(q2, k, v, ek, ev)
+            return (out[0, 0, 0, 0].astype(jnp.float32) * 1e-20), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=scan_len)
+        return c
+
+    args = (q, k, v, ek, ev) if has_extra else (q, k, v)
+    jf = jax.jit(repeated)
+    try:
+        jax.block_until_ready(jf(*args))
+    except Exception as e:
+        return None, f"{type(e).__name__}: {str(e)[:120]}"
+    samples = timed_windows(lambda: jf(*args), jax.block_until_ready,
+                            iters, reps)
+    med_ms, _ = median_iqr_ms(samples)
+    return med_ms / scan_len, None
+
+
 def bench_floor():
     """Per-iteration cost of the scan harness itself (a minimal dot),
     reported so floor-limited measurements are identifiable."""
@@ -261,7 +324,12 @@ def main():
 
     args = (pipe.params, latents, t, cond_lat_pair, ehs, depth, emb)
     print("compiling _cfg_v_pred ...", flush=True)
-    compiled = jax.jit(f).lower(*args).compile()
+    from contexture_nerf_tpu.ops.attention import record_attention_calls
+
+    attn_calls: list = []
+    with record_attention_calls(attn_calls):
+        lowered = jax.jit(f).lower(*args)
+    compiled = lowered.compile()
     try:
         total_flops = compiled.cost_analysis()["flops"]
     except Exception:
@@ -272,9 +340,25 @@ def main():
     samples = timed_windows(lambda: compiled(*args), jax.block_until_ready,
                             n_iters, reps)
     wall_ms, wall_iqr = median_iqr_ms(samples)
-    mfu = 100.0 * total_flops / (wall_ms / 1e3) / PEAK_BF16
+
+    # Attention workload (VERDICT r4 missing #1): Pallas custom-call FLOPs
+    # are invisible to compiled.cost_analysis(), so the true denominator is
+    # XLA's count PLUS the flash-attention calls recorded at trace time.
+    # XLA-path attention (Sq < 256, e.g. the CLIP towers) lowers to dots and
+    # is already inside total_flops — only pallas=True calls are added.
+    pallas_calls = [c for c in attn_calls if c["pallas"]]
+    attn_useful = sum(attn_flops(c) for c in pallas_calls)
+    attn_padded = sum(attn_flops(c, padded=True) for c in pallas_calls)
+    true_flops = total_flops + attn_useful
+    mfu_xla_only = 100.0 * total_flops / (wall_ms / 1e3) / PEAK_BF16
+    mfu = 100.0 * true_flops / (wall_ms / 1e3) / PEAK_BF16
     print(f"wall {wall_ms:.1f} ms  (IQR {wall_iqr:.2f})  "
-          f"XLA flops {total_flops/1e9:.1f} G  MFU {mfu:.1f}%", flush=True)
+          f"XLA flops {total_flops/1e9:.1f} G + attention "
+          f"{attn_useful/1e9:.1f} G useful ({attn_padded/1e9:.1f} G as-fed, "
+          f"d pad 64->128)  MFU {mfu:.1f}% (was {mfu_xla_only:.1f}% "
+          f"XLA-only)", flush=True)
+    print(f"{len(attn_calls)} attention calls traced, "
+          f"{len(pallas_calls)} on the Pallas path", flush=True)
 
     ops = parse_hlo_ops(txt)
     groups = group_ops(ops)
@@ -361,8 +445,40 @@ def main():
             "error": err,
         })
 
+    # distinct Pallas attention shapes, standalone-benched like the convs
+    attn_groups = defaultdict(lambda: {"count": 0})
+    for c in pallas_calls:
+        sig = (c["B"], c["H"], c["Sq"], c["Skv"], c["Se"], c["d"],
+               c["dtype"])
+        attn_groups[sig]["count"] += 1
+        attn_groups[sig]["call"] = c
+    attn_rows = []
+    for sig, g in sorted(attn_groups.items(),
+                         key=lambda kv: -attn_flops(kv[1]["call"])):
+        c = g["call"]
+        ms, err = bench_attention_shape(c)
+        useful = attn_flops(c)
+        padded = attn_flops(c, padded=True)
+        attn_rows.append({
+            "B": c["B"], "H": c["H"], "Sq": c["Sq"], "Skv": c["Skv"],
+            "Se": c["Se"], "d": c["d"], "count": g["count"],
+            "gflops_useful_each": round(useful / 1e9, 3),
+            "gflops_as_fed_each": round(padded / 1e9, 3),
+            "standalone_ms": None if ms is None else round(ms, 4),
+            "mxu_util_useful_pct": None if not ms else round(
+                100.0 * useful / (ms / 1e3) / PEAK_BF16, 1),
+            "mxu_util_as_fed_pct": None if not ms else round(
+                100.0 * padded / (ms / 1e3) / PEAK_BF16, 1),
+            "projected_total_ms": None if ms is None
+            else round(ms * g["count"], 2),
+            "error": err,
+        })
+
     bottom_up_ms = sum(r["projected_total_ms"] or 0.0 for r in rows)
+    attn_bottom_up_ms = sum(r["projected_total_ms"] or 0.0
+                            for r in attn_rows)
     matmul_flops = sum(g["flops"] for g in groups.values())
+    residual = wall_ms - bottom_up_ms - attn_bottom_up_ms
     out = {
         "wall_ms": round(wall_ms, 2),
         "wall_iqr_ms": round(wall_iqr, 2),
@@ -370,24 +486,41 @@ def main():
         else round(floor_ms, 4),
         "components": comp,
         "xla_total_flops": total_flops,
+        "attention_flops_useful": attn_useful,
+        "attention_flops_as_fed": attn_padded,
+        "true_total_flops": true_flops,
         "mfu_pct": round(mfu, 2),
+        "mfu_pct_xla_denominator_only": round(mfu_xla_only, 2),
         "conv_dot_flops": matmul_flops,
-        "conv_dot_flops_pct": round(100 * matmul_flops
-                                    / max(total_flops, 1), 1),
-        "bottom_up_conv_dot_ms": round(bottom_up_ms, 1),
-        "residual_ms": round(wall_ms - bottom_up_ms, 1),
-        "residual_note": "residual = attention (Pallas custom-calls), "
-                         "elementwise/norm fusions, HBM traffic, "
-                         "scheduling; standalone shape benches overlap "
-                         "nothing so bottom-up is an optimistic floor",
+        "conv_dot_flops_pct_of_xla": round(100 * matmul_flops
+                                           / max(total_flops, 1), 1),
+        "category_ms": {
+            "conv_dot_bottom_up": round(bottom_up_ms, 1),
+            "flash_attention_bottom_up": round(attn_bottom_up_ms, 1),
+            "residual_fusions_hbm_sched": round(residual, 1),
+            "wall": round(wall_ms, 2),
+        },
+        "residual_note": "bottom-up standalone benches overlap nothing, so "
+                         "conv/dot + attention are optimistic floors; the "
+                         "residual is elementwise/norm fusions, HBM "
+                         "traffic and scheduling",
         "device": str(jax.devices()[0]),
         "rows": rows,
+        "attention_rows": attn_rows,
+        "attention_calls_traced": len(attn_calls),
+        "attention_calls_pallas": len(pallas_calls),
     }
-    dst = Path(__file__).resolve().parent.parent / "docs" / "mfu_r4.json"
+    dst = Path(__file__).resolve().parent.parent / "docs" / "mfu_r5.json"
     dst.write_text(json.dumps(out, indent=1))
     print(f"wrote {dst}", flush=True)
-    print(f"bottom-up conv+dot: {bottom_up_ms:.1f} ms of {wall_ms:.1f} "
-          f"wall; residual {wall_ms - bottom_up_ms:.1f} ms", flush=True)
+    print(f"bottom-up conv+dot {bottom_up_ms:.1f} + attention "
+          f"{attn_bottom_up_ms:.1f} ms of {wall_ms:.1f} wall; residual "
+          f"{residual:.1f} ms", flush=True)
+    for r in attn_rows:
+        print(f"  attn B={r['B']} H={r['H']} Sq={r['Sq']} Skv={r['Skv']} "
+              f"Se={r['Se']} d={r['d']} x{r['count']}: {r['standalone_ms']} "
+              f"ms, util useful {r['mxu_util_useful_pct']}% / as-fed "
+              f"{r['mxu_util_as_fed_pct']}%", flush=True)
     worst = [r for r in rows if r["mxu_util_pct"] is not None
              and r["flops_pct_of_total"] > 2]
     worst.sort(key=lambda r: r["mxu_util_pct"])
