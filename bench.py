@@ -18,9 +18,11 @@ distinguishable from tunnel noise (VERDICT r2 weak #1).
 `extra` carries the wider harness:
   - full_sds_iter_ms (+ _iqr): ONE production SDS iteration (student MLP
     render of the 960x640 grid + VAE encode fwd/bwd + teacher + adam) via the
-    actual ConTEXTure._build_sds_step graph on a procedural sphere;
-    full_sds_iter_local_grad_ms / full_sds_iter_emb_ms are the same step with
-    the opt-in optim.local_sds_grad / optim.precompute_uv_embedding knobs;
+    actual ConTEXTure._build_sds_step graph on a procedural sphere, at the
+    r5 DEFAULTS (local_sds_grad + precompute_uv_embedding on, quality
+    artifact docs/knob_quality_r5.json); full_sds_iter_parity_ms is the
+    reference-exact-gradient path (both knobs off — the r4 headline number),
+    full_sds_iter_local_grad_ms / full_sds_iter_emb_ms the single knobs;
   - teacher_mfu_pct: XLA-counted FLOPs / wall-clock vs the chip's bf16 peak;
   - e2e_slice: bootstrap + 25 SDS iters + 5-pose eval through trainer.paint()
     as ONE wall-clock measurement (the measured proxy for the BASELINE
@@ -174,23 +176,27 @@ def bench_trainer(tiny):
     samples = _timed_windows(one, jax.block_until_ready, n_iters, reps)
     iter_ms, iter_iqr = _median_iqr_ms(samples)
 
-    # Opt-in-knob variants of the same step, each budget-gated (a full-size
+    # Knob variants of the same step, each budget-gated (a full-size
     # compile through the tunnel costs minutes; on deadline expiry the
-    # remaining variants are recorded as skipped, not lost):
-    #   local  — optim.local_sds_grad: identical forward, gradient restricted
-    #            to a margin-padded slice around the sampled tile;
-    #   emb    — optim.precompute_uv_embedding: precomputed bf16 Fourier
-    #            embedding (bit-identical under the bf16 default —
-    #            tests/test_mlp_kernel.py), skips ~25M sin/cos fwd+bwd,
-    #            ~157 MB extra HBM; None when the kernel is ineligible;
-    #   both   — the two combined (docs/PERF.md: 173.7 vs 284.7 ms, -39%).
+    # remaining variants are recorded as skipped, not lost). Since r5 the
+    # DEFAULT config has local_sds_grad + precompute_uv_embedding ON
+    # (quality artifact: docs/knob_quality_r5.json), so the headline
+    # full_sds_iter_ms above is the fast path and the tracked variants are:
+    #   parity — both knobs OFF: the reference-exact-gradient path (the r4
+    #            headline; r4 measured 288.7 ms vs 176.3 best-knobs);
+    #   local  — local_sds_grad only;
+    #   emb    — precompute_uv_embedding only (bit-identical;
+    #            tests/test_mlp_kernel.py + knob_quality PSNR inf).
+    _dflt = (trainer.cfg.optim.local_sds_grad,
+             trainer.cfg.optim.precompute_uv_embedding)
+
     def _measure_variant(local_grad, precompute_emb):
         trainer.cfg.optim.local_sds_grad = local_grad
         trainer.cfg.optim.precompute_uv_embedding = precompute_emb
         try:
-            setup_v = (trainer.prepare_sds(skip_bootstrap=True)
-                       if precompute_emb else setup)
-            if precompute_emb and setup_v["emb_pts"] is None:
+            setup_v = (setup if (local_grad, precompute_emb) == _dflt
+                       else trainer.prepare_sds(skip_bootstrap=True))
+            if precompute_emb and setup_v.get("emb_pts") is None:
                 return None  # kernel ineligible (non-TPU / non-8x256 MLP)
             step_v, opt_v, hot_v = trainer._build_sds_step(setup_v, None)
             opt_state_v = opt_v.init(params)
@@ -209,13 +215,13 @@ def bench_trainer(tiny):
         except Exception as e:
             return f"error: {type(e).__name__}: {str(e)[:200]}"
         finally:
-            trainer.cfg.optim.local_sds_grad = False
-            trainer.cfg.optim.precompute_uv_embedding = False
+            trainer.cfg.optim.local_sds_grad = _dflt[0]
+            trainer.cfg.optim.precompute_uv_embedding = _dflt[1]
 
     variant_ms = {}
     for name, local_grad, precompute_emb in (
-            ("local", True, False), ("emb", False, True),
-            ("both", True, True)):
+            ("parity", False, False), ("local", True, False),
+            ("emb", False, True)):
         # a cold full-size variant costs a multi-minute compile through the
         # tunnel — gate on a realistic worst case, not a token margin
         if budget_left_s() < 300:
@@ -293,8 +299,8 @@ def bench_volume(tiny):
     return R / (med_ms / 1000.0)
 
 
-def prev_round_value():
-    """Newest BENCH_r*.json primary value, for vs_prev_round."""
+def prev_round_parsed():
+    """Newest BENCH_r*.json parsed artifact (None if none parse)."""
     best = None
     for p in glob.glob("BENCH_r*.json"):
         m = re.search(r"BENCH_r(\d+)\.json", p)
@@ -302,12 +308,18 @@ def prev_round_value():
             continue
         try:
             parsed = json.load(open(p)).get("parsed") or {}
-            v = parsed.get("value")
         except Exception:
             continue
-        if v is not None and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), float(v))
+        if parsed.get("value") is not None and (
+                best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), parsed)
     return best[1] if best else None
+
+
+def prev_round_value():
+    """Newest BENCH_r*.json primary value, for vs_prev_round."""
+    parsed = prev_round_parsed()
+    return float(parsed["value"]) if parsed else None
 
 
 def backend_reachable(timeout_s=180):
@@ -432,17 +444,38 @@ def main():
             (iter_ms, iter_iqr, variant_ms), e2e = bench_trainer(tiny)
             extra["full_sds_iter_ms"] = round(iter_ms, 1)
             extra["full_sds_iter_iqr_ms"] = round(iter_iqr, 2)
-            for name, key in (("local", "full_sds_iter_local_grad_ms"),
-                              ("emb", "full_sds_iter_emb_ms"),
-                              ("both", "full_sds_iter_emb_local_ms")):
+            for name, key in (("parity", "full_sds_iter_parity_ms"),
+                              ("local", "full_sds_iter_local_grad_ms"),
+                              ("emb", "full_sds_iter_emb_ms")):
                 v = variant_ms.get(name)
                 extra[key] = round(v, 1) if isinstance(v, float) else v
             extra["e2e_slice"] = e2e
             if "phases" in e2e:
-                best_iter = min([iter_ms] + [v for v in variant_ms.values()
-                                            if isinstance(v, float)])
+                parity = variant_ms.get("parity")
                 e2e["projection_default"] = project_full_run(e2e, iter_ms)
-                e2e["projection_best_knobs"] = project_full_run(e2e, best_iter)
+                e2e["projection_parity_knobs"] = project_full_run(
+                    e2e, parity if isinstance(parity, float) else iter_ms)
+                # round-over-round tracking for the secondary rates
+                # (VERDICT r4 weak #5/#6: eval + bootstrap were untracked);
+                # vs_prev < 1.0 means slower than last round — flag > 10%
+                prev = prev_round_parsed() or {}
+                prev_e2e = (prev.get("extra") or {}).get("e2e_slice") or {}
+                prev_ph = prev_e2e.get("phases") or {}
+                track = {}
+                ph = e2e["phases"]
+                ew = (ph.get("eval") or {}).get("window_iter_ms")
+                pew = (prev_ph.get("eval") or {}).get("window_iter_ms")
+                if ew and pew:
+                    track["eval_window_iter_vs_prev"] = round(pew / ew, 3)
+                bs = (ph.get("bootstrap") or {}).get("total_s")
+                pbs = (prev_ph.get("bootstrap") or {}).get("total_s")
+                if bs and pbs:
+                    track["bootstrap_vs_prev"] = round(pbs / bs, 3)
+                regressed = [k for k, v in track.items() if v < 0.9]
+                if regressed:
+                    track["regression_alert"] = \
+                        ">10% slower than prev round: " + ", ".join(regressed)
+                e2e["vs_prev_round"] = track
         except Exception as e:  # never lose the primary metric
             extra["full_sds_iter_ms"] = \
                 f"error: {type(e).__name__}: {str(e)[:200]}"

@@ -145,8 +145,12 @@ class OptimConfig:
     tile_weighting: str = "uniform"
     # Precompute the Fourier embedding of the static grid UVs and evaluate
     # the fused precomputed-embedding kernel in the hot loop (~18 ms/iter
-    # faster, costs ~314 MB HBM residency — see docs/PERF.md headroom).
-    precompute_uv_embedding: bool = False
+    # faster; ~157 MB bf16 HBM residency). Default ON since r5: proven
+    # bit-identical end to end on chip (500-iter paint, PSNR inf vs the
+    # recompute path — docs/knob_quality_r5.json) and the trainer
+    # auto-falls-back to per-iteration recompute when free HBM headroom is
+    # short (trainer.py:_hbm_headroom_ok).
+    precompute_uv_embedding: bool = True
     # Student render in the SDS loop: False (default) queries the texture MLP
     # directly at the crop-resized rasterized UVs (dense MXU math, ~10x faster
     # on TPU); True reproduces the reference's lattice->bilinear-sample->
@@ -191,8 +195,14 @@ class OptimConfig:
     # tile only: exact for the pointwise texture MLP; exact for the VAE up
     # to receptive-field truncation at the slice border (controlled by
     # local_sds_margin_px) and the encoder mid-attention's global term.
-    # Off by default (reference-parity gradients).
-    local_sds_grad: bool = False
+    # Default ON since r5 (-77 ms/iter): the measured end-to-end effect of
+    # the approximation is far inside run-to-run stochasticity — 500-iter
+    # same-seed paints at production scale agree at 13.9 dB (atlas) /
+    # 19.2 dB (renders) while two different-seed DEFAULT runs agree at only
+    # 2.6 / 7.5 dB, and loss/view-consistency match or better the exact
+    # path (docs/knob_quality_r5.json). Set false for reference-exact
+    # gradients.
+    local_sds_grad: bool = True
     # Margin in pixels (multiple of the VAE downsample factor) around the
     # sampled tile for the local backward slice; larger = closer to the
     # exact gradient. A margin covering the whole canvas reproduces the

