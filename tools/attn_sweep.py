@@ -28,18 +28,25 @@ os.environ.setdefault("JAX_PLATFORMS", "axon,tpu,cpu")
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SHAPES = [
-    # the teacher's Pallas attention workload by level (ref-attn self-attn
-    # doubles KV via the second source; cross-attn has 77-token KV)
-    {"B": 2, "H": 5, "Sq": 9600, "Skv": 9600, "Se": 9600, "d": 64,
+    # the teacher's Pallas attention workload, from docs/mfu_r5.json's
+    # traced call census (ref-attn self-attn extends KV via the second
+    # source; cross-attn has 77-token KV). Se values match the real trace.
+    {"B": 2, "H": 5, "Sq": 9600, "Skv": 9600, "Se": 1600, "d": 64,
      "dtype": "bfloat16", "label": "self_top_refattn"},
-    {"B": 2, "H": 10, "Sq": 2400, "Skv": 2400, "Se": 2400, "d": 64,
+    {"B": 2, "H": 10, "Sq": 2400, "Skv": 2400, "Se": 400, "d": 64,
      "dtype": "bfloat16", "label": "self_mid_refattn"},
-    {"B": 2, "H": 20, "Sq": 600, "Skv": 600, "Se": 600, "d": 64,
+    {"B": 2, "H": 20, "Sq": 600, "Skv": 600, "Se": 100, "d": 64,
      "dtype": "bfloat16", "label": "self_deep_refattn"},
     {"B": 2, "H": 5, "Sq": 1600, "Skv": 1600, "Se": 0, "d": 64,
      "dtype": "bfloat16", "label": "write_pass_self"},
+    {"B": 2, "H": 10, "Sq": 400, "Skv": 400, "Se": 0, "d": 64,
+     "dtype": "bfloat16", "label": "write_pass_mid_self"},
     {"B": 2, "H": 5, "Sq": 9600, "Skv": 77, "Se": 0, "d": 64,
      "dtype": "bfloat16", "label": "cross_top"},
+    {"B": 2, "H": 10, "Sq": 2400, "Skv": 77, "Se": 0, "d": 64,
+     "dtype": "bfloat16", "label": "cross_mid"},
+    {"B": 2, "H": 20, "Sq": 600, "Skv": 77, "Se": 0, "d": 64,
+     "dtype": "bfloat16", "label": "cross_deep"},
 ]
 
 CANDIDATES = [(512, 512), (512, 1024), (1024, 512), (1024, 1024),
@@ -61,9 +68,23 @@ def main() -> int:
     rows = []
     for shape in SHAPES:
         row = {"shape": shape, "candidates": {}}
+        # XLA fallback at the same shape (einsum+softmax, concat KV): the
+        # Pallas kernel's per-program overhead can dominate at short
+        # KV/sequence — route-by-measurement, not by assumption
+        xla_ms, xla_err = bench_attention_shape(
+            shape, reps=3, iters=2, scan_len=8, force_xla=True)
+        row["candidates"]["xla"] = (round(xla_ms, 3) if xla_ms is not None
+                                    else f"error: {xla_err}")
+        print(f"{shape['label']} xla: {row['candidates']['xla']}",
+              flush=True)
         base_blocks = baseline_pick(shape["Sq"], max(shape["Skv"],
                                                      shape["Se"]))
-        for q_blk, kv_blk in CANDIDATES:
+        # short-KV shapes: block geometry is moot (a single 128-wide KV
+        # block); only xla-vs-pallas routing matters — bench the default
+        # blocks only
+        cands = (CANDIDATES if shape["Skv"] + shape["Se"] > 512
+                 else [base_blocks])
+        for q_blk, kv_blk in cands:
             kv_eff = min(kv_blk,
                          max(128, -(-max(shape["Skv"], shape["Se"]) // 128)
                              * 128))

@@ -249,10 +249,13 @@ def attn_flops(call, padded: bool = False):
     return 4 * B * H * sq * (skv + se) * d
 
 
-def bench_attention_shape(call, reps=3, iters=2, scan_len=16):
-    """Standalone scan-harness bench of flash_attention_pallas at one
-    recorded call shape (same chained-dependency trick as bench_shape)."""
-    from contexture_nerf_tpu.ops.attention import flash_attention_pallas
+def bench_attention_shape(call, reps=3, iters=2, scan_len=16,
+                          force_xla=False):
+    """Standalone scan-harness bench of flash_attention_pallas — or, with
+    force_xla, the einsum+softmax fallback — at one recorded call shape
+    (same chained-dependency trick as bench_shape)."""
+    from contexture_nerf_tpu.ops.attention import (_xla_attention,
+                                                   flash_attention_pallas)
 
     dt = jnp.bfloat16 if "bfloat16" in call["dtype"] else jnp.float32
     B, H, d = call["B"], call["H"], call["d"]
@@ -266,10 +269,17 @@ def bench_attention_shape(call, reps=3, iters=2, scan_len=16):
     ek = mk(call["Se"], ks[3]) if has_extra else None
     ev = mk(call["Se"], ks[4]) if has_extra else None
 
+    def attend(q2, k, v, ek, ev):
+        if force_xla:
+            kk = k if ek is None else jnp.concatenate([k, ek], axis=2)
+            vv = v if ev is None else jnp.concatenate([v, ev], axis=2)
+            return _xla_attention(q2, kk, vv)
+        return flash_attention_pallas(q2, k, v, ek, ev)
+
     def repeated(q, k, v, ek=None, ev=None):
         def body(c, _):
             q2 = q.at[(0, 0, 0, 0)].add(c.astype(q.dtype))
-            out = flash_attention_pallas(q2, k, v, ek, ev)
+            out = attend(q2, k, v, ek, ev)
             return (out[0, 0, 0, 0].astype(jnp.float32) * 1e-20), None
 
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=scan_len)
