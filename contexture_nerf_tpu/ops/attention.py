@@ -31,6 +31,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 _MIN_SQ_PALLAS = 256
+# r5: route short-KV calls (cross-attention's 77 context tokens, short
+# write-pass sequences) to the XLA einsum path — the Pallas kernel's
+# per-program overhead dominates when each (b,h,q-block) program only sees
+# a single narrow KV block, while XLA fuses the whole QK-softmax-PV chain.
+# Threshold set by full-teacher-wall A/B on chip (docs/teacher_bisect_r5.json
+# routing variants), not standalone microbenches — the tunnel's async
+# dispatch makes isolated per-op timings unreliable.
+_MIN_KV_PALLAS = 1024
 
 # Sequence-parallel context (SURVEY.md §2.3): while active, attention()
 # routes eligible calls through parallel/ring.py's ring attention over the
@@ -279,20 +287,23 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     fallback concatenates (mathematically identical)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    _tot_kv = k.shape[2] + (0 if extra_k is None else extra_k.shape[2])
     if _CALL_RECORDER["calls"] is not None:
         _CALL_RECORDER["calls"].append({
             "B": q.shape[0], "H": q.shape[1], "Sq": q.shape[2],
             "Skv": k.shape[2],
             "Se": 0 if extra_k is None else extra_k.shape[2],
             "d": q.shape[3], "dtype": str(q.dtype),
-            "pallas": bool(use_pallas and q.shape[2] >= _MIN_SQ_PALLAS),
+            "pallas": bool(use_pallas and q.shape[2] >= _MIN_SQ_PALLAS
+                           and _tot_kv >= _MIN_KV_PALLAS),
         })
     if _ring_eligible(q, k, extra_k):
         from contexture_nerf_tpu.parallel.ring import ring_attention
 
         return ring_attention(q, k, v, _SEQ_PARALLEL["mesh"],
                               _SEQ_PARALLEL["axis"], extra_k, extra_v)
-    if use_pallas and q.shape[2] >= _MIN_SQ_PALLAS:
+    if use_pallas and q.shape[2] >= _MIN_SQ_PALLAS \
+            and _tot_kv >= _MIN_KV_PALLAS:
         return flash_attention_pallas(q, k, v, extra_k, extra_v)
     if extra_k is not None:
         k = jnp.concatenate([k, extra_k], axis=2)

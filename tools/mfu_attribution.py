@@ -439,6 +439,12 @@ def main():
                   if ms is not None and floor_ms else ms)
         util = (100.0 * flops_one / (ms_adj / 1e3) / PEAK_BF16
                 if ms_adj else None)
+        if util is not None and util > 100.0:
+            # reading below the dispatch floor: the true per-op cost is
+            # unmeasurable standalone — clamp to the physically possible
+            # bound instead of reporting a nonsense utilization
+            ms_adj = flops_one / PEAK_BF16 * 1e3
+            util = None
         rows.append({
             "kind": op["kind"], "dtype": op["dtype"],
             "lhs": list(op["lhs"]), "rhs": list(op["rhs"]),
@@ -510,10 +516,15 @@ def main():
             "residual_fusions_hbm_sched": round(residual, 1),
             "wall": round(wall_ms, 2),
         },
-        "residual_note": "bottom-up standalone benches overlap nothing, so "
-                         "conv/dot + attention are optimistic floors; the "
-                         "residual is elementwise/norm fusions, HBM "
-                         "traffic and scheduling",
+        "residual_note": "bottom-up standalone benches overlap nothing AND "
+                         "carry per-call dispatch/scan overhead the fused "
+                         "graph amortizes, so per-shape sums bracket rather "
+                         "than partition the wall (small shapes can make "
+                         "the sum EXCEED it); sub-floor conv rows are "
+                         "clamped to their speed-of-light bound with util "
+                         "reported as unmeasurable. Authoritative deltas "
+                         "come from full-graph A/B walls "
+                         "(tools/teacher_bisect.py artifacts).",
         "device": str(jax.devices()[0]),
         "rows": rows,
         "attention_rows": attn_rows,

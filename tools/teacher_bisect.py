@@ -72,6 +72,23 @@ elif variant == "xla_attention":
     import contexture_nerf_tpu.diffusion.layers as L
     from contexture_nerf_tpu.ops import attention as A
     L.attention = functools.partial(A.attention, use_pallas=False)
+elif variant == "q2048_top":
+    # wider q blocks at the 9600-token self-attn: halves the KV
+    # re-streaming (nq 10 -> 5 passes over the 11.2k-token KV)
+    import contexture_nerf_tpu.ops.attention as A
+    _orig = A._pick_blocks
+    def _pick(sq, skv_max=None):
+        q_blk, kv_blk = _orig(sq, skv_max)
+        return (2048, kv_blk) if sq >= 4800 else (q_blk, kv_blk)
+    A._pick_blocks = _pick
+elif variant.startswith("kv"):
+    # routing-threshold A/B (r5): pallas only when Skv+Se >= N.
+    # kv0 = every eligible call on pallas (pre-r5 behavior);
+    # kv128 = only the 77-token cross-attn on XLA; kv1024 adds the
+    # 700-token deep self-attn; kv2048 adds the 1600-token write pass;
+    # kv4096 adds the 2800-token mid self-attn.
+    import contexture_nerf_tpu.ops.attention as A
+    A._MIN_KV_PALLAS = int(variant[2:])
 
 from contexture_nerf_tpu.core.timing import median_iqr_ms, timed_windows
 from contexture_nerf_tpu.diffusion.zero123plus import Zero123PlusPipeline
@@ -159,9 +176,11 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     skip = set(filter(None, args.skip.split(",")))
 
+    ap2_variants = os.environ.get(
+        "BISECT_VARIANTS",
+        "current,wide_kv_cross,tanh_gelu,r1_blocks,xla_attention")
     rows = []
-    for variant in ("current", "wide_kv_cross", "tanh_gelu", "r1_blocks",
-                    "xla_attention"):
+    for variant in ap2_variants.split(","):
         if variant in skip:
             continue
         print(f"running variant {variant} ...", flush=True)
