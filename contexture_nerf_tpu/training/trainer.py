@@ -714,10 +714,17 @@ class ConTEXTure:
 
         local_grad = bool(cfg.optim.local_sds_grad)
         if local_grad and exact_render:
-            raise ValueError(
-                "optim.local_sds_grad requires the default fused-query "
-                "render path; optim.exact_lattice_render backpropagates "
-                "through the rasterizer cache instead")
+            # local_sds_grad needs the fused-query render path;
+            # exact_lattice_render backpropagates through the rasterizer
+            # cache instead. exact_lattice is a reference-exactness request,
+            # so fall back to the reference-exact gradient rather than
+            # erroring on the (r5 default-on) local-grad knob.
+            logger.warning(
+                "optim.exact_lattice_render is on: disabling "
+                "optim.local_sds_grad (it requires the fused-query render "
+                "path); gradients follow the reference-exact full-canvas "
+                "backward")
+            local_grad = False
         margin_px = int(cfg.optim.local_sds_margin_px)
         if margin_px % vae_down:
             raise ValueError(

@@ -153,9 +153,17 @@ def test_margin_must_be_latent_aligned(tmp_path):
         tr._build_sds_step(setup, None)
 
 
-def test_local_grad_rejects_exact_lattice_render(tmp_path):
+def test_local_grad_falls_back_under_exact_lattice_render(tmp_path, caplog):
+    """exact_lattice_render is a reference-exactness request: it disables
+    the (r5 default-on) local_sds_grad with a warning instead of erroring —
+    the step builds and the backward is the full-canvas exact one."""
+    import logging
+
     tr = make_trainer(tmp_path, local_sds_grad=True,
                       exact_lattice_render=True)
     setup = tr.prepare_sds(skip_bootstrap=True)
-    with pytest.raises(ValueError, match="local_sds_grad"):
-        tr._build_sds_step(setup, None)
+    with caplog.at_level(logging.WARNING, logger="contexture_nerf_tpu"):
+        step, optimizer, hot = tr._build_sds_step(setup, None)
+    assert any("disabling" in r.message and "local_sds_grad" in r.message
+               for r in caplog.records)
+    assert step is not None
