@@ -218,6 +218,24 @@ def bench_trainer(tiny):
             trainer.cfg.optim.local_sds_grad = _dflt[0]
             trainer.cfg.optim.precompute_uv_embedding = _dflt[1]
 
+    # (b) e2e slice FIRST (it is the artifact the projections need; knob
+    # variants each cost a multi-minute re-trace on this 1-core host and
+    # used to push the e2e past the deadline): full paint() = bootstrap ->
+    # SDS loop -> eval -> video. Phases come from the profiler with compile
+    # separated from steady state.
+    if budget_left_s() < 600:
+        e2e = {"error": "skipped: bench deadline"}
+    else:
+        profiler.GLOBAL_TIMINGS = profiler.Timings()
+        t0 = time.perf_counter()
+        trainer.paint()
+        wall_s = time.perf_counter() - t0
+        phases = profiler.GLOBAL_TIMINGS.summary()
+        e2e = {"wall_s": round(wall_s, 1),
+               "sds_iters": cfg.optim.sds_iterations,
+               "eval_poses": cfg.log.full_eval_size,
+               "phases": phases}
+
     variant_ms = {}
     for name, local_grad, precompute_emb in (
             ("parity", False, False), ("local", True, False),
@@ -226,24 +244,17 @@ def bench_trainer(tiny):
         # tunnel — gate on a realistic worst case, not a token margin
         if budget_left_s() < 300:
             variant_ms[name] = "skipped: bench deadline"
-        else:
-            variant_ms[name] = _measure_variant(local_grad, precompute_emb)
-
-    # (b) e2e slice: full paint() = bootstrap -> SDS loop -> eval -> video.
-    # Phases come from the profiler with compile separated from steady state.
-    # Cold cost is bootstrap (~150 s) + sds compile (~150 s) + iters + eval.
-    if budget_left_s() < 600:
-        return (iter_ms, iter_iqr, variant_ms), {
-            "error": "skipped: bench deadline"}
-    profiler.GLOBAL_TIMINGS = profiler.Timings()
-    t0 = time.perf_counter()
-    trainer.paint()
-    wall_s = time.perf_counter() - t0
-    phases = profiler.GLOBAL_TIMINGS.summary()
-    e2e = {"wall_s": round(wall_s, 1),
-           "sds_iters": cfg.optim.sds_iterations,
-           "eval_poses": cfg.log.full_eval_size,
-           "phases": phases}
+            continue
+        v = _measure_variant(local_grad, precompute_emb)
+        if isinstance(v, float) and v < 0.25 * iter_ms:
+            # the tunnel intermittently stops blocking on results
+            # (docs/PERF.md r5 methodology note) — a knob variant reading
+            # far BELOW the default iter is physically impossible; retry
+            # once and flag rather than report garbage
+            v2 = _measure_variant(local_grad, precompute_emb)
+            v = (v2 if isinstance(v2, float) and v2 >= 0.25 * iter_ms
+                 else f"implausible: {v} ms (async-dispatch tunnel state)")
+        variant_ms[name] = v
     return (iter_ms, iter_iqr, variant_ms), e2e
 
 
