@@ -1,6 +1,14 @@
 """Flash-attention block-size sweep at the real teacher shapes
 (VERDICT r4 next-round stretch #9).
 
+RELIABILITY WARNING (r5, measured): the axon tunnel intermittently enters
+a state where dispatch stops blocking — this tool's standalone scan-harness
+numbers then read microseconds for multi-ms kernels (docs/PERF.md round-5
+methodology note). Treat its output as advisory; authoritative block/
+routing decisions come from FULL-GRAPH teacher walls via
+tools/teacher_bisect.py variants (see docs/kv_routing_r5.json — that A/B
+set the shipped _MIN_KV_PALLAS=1024 and confirmed the 1024/1024 blocks).
+
 Benches flash_attention_pallas standalone (same scan harness as
 tools/mfu_attribution.py) for each (q_blk, kv_blk) candidate at the
 teacher's dominant attention shapes, and reports the best per shape. The
